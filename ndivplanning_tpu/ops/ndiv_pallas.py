@@ -1,0 +1,261 @@
+"""Fused Pallas TPU kernel for the NDiv loss (forward + hand-derived VJP).
+
+Replaces the O(k^2) framework graph of the reference's NDiv loss
+(SURVEY.md §3.2, BASELINE.json:5 "fused Pallas kernel instead of an O(N^2)
+framework graph") with one VMEM-resident pass per row-tile.
+
+TPU-first layout
+----------------
+The per-condition sample count k (8 or 32 in the reference configs,
+BASELINE.json:7-11) is far below the 128-lane tile width, so a kernel that
+worked on one [k, k] matrix at a time would starve the MXU.  Instead we
+*pack*: TB = R // kp conditions' sample blocks are stacked into one
+``[R, d]`` row tile (R ~ 256, kp = k rounded up to the 8-row sublane), the
+full ``[R, R]`` Gram matrix is computed with a single MXU matmul, and a
+block-diagonal mask confines the math to each condition's own k x k block.
+The off-block FLOPs are wasted, but they ride the MXU at speed-of-light;
+what matters is that distances, row-normalisation, hinge and reduction all
+happen in VMEM with no HBM round-trips.
+
+Backward pass (hand-derived, SURVEY.md §7 hard-parts #2)
+-------------------------------------------------------
+With n = D / rowsum(D), hinge slack s_ij = 1[alpha*nz_ij - nx_ij > 0]*g/M:
+
+  dL/dD_pq   = (G_pq - sum_j G_pj n_pj) / r_p        (quotient rule; G=dL/dn)
+  dL/da_t    = rowsum(W)_t * a_t - (W @ a)_t,        W_tj = (gD_tj+gD_jt)/D_tj
+
+so the backward is the same masked-Gram structure plus one MXU matmul
+``W @ A`` per tensor.  Subgradient conventions (shared with the jnp
+reference path, ops/ndiv.py): relu' = 0 at exactly 0, d sqrt = 0 at 0,
+0/0-rows normalise to 0.
+
+Residuals: only (z, x) — forward intermediates are recomputed in the
+backward kernel (they are cheap, and this keeps HBM traffic minimal).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_TILE_TARGET = 256
+_MAX_KP = 1024  # above this the packed Gram would blow VMEM; fall back to jnp
+_SUBLANE = 8  # float32 sublane granularity
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _plan(batch: int, k: int):
+    """Choose (kp, tb, row_tile, grid, batch_pad) for the packed layout."""
+    kp = _round_up(k, _SUBLANE)
+    tb = max(1, _ROW_TILE_TARGET // kp)
+    row_tile = tb * kp
+    batch_pad = _round_up(batch, tb)
+    grid = batch_pad // tb
+    return kp, tb, row_tile, grid, batch_pad
+
+
+def _pack(a: jnp.ndarray, k: int, kp: int, batch: int, batch_pad: int) -> jnp.ndarray:
+    """[batch, k, d] -> zero-padded [batch_pad * kp, d] row-major blocks."""
+    d = a.shape[-1]
+    a = a.reshape(batch, k, d).astype(jnp.float32)
+    a = jnp.pad(a, ((0, batch_pad - batch), (0, kp - k), (0, 0)))
+    return a.reshape(batch_pad * kp, d)
+
+
+def _masks(row_tile: int, kp: int, k: int):
+    """Block-diagonal validity mask for a packed [row_tile, row_tile] tile."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (row_tile, row_tile), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (row_tile, row_tile), 1)
+    same_block = (rows // kp) == (cols // kp)
+    in_k = ((rows % kp) < k) & ((cols % kp) < k)
+    off_diag = rows != cols
+    return same_block & in_k & off_diag
+
+
+def _masked_distances(a, valid):
+    """Masked pairwise L2 over a packed tile: D, rowsum(D), normalised n."""
+    sq = jnp.sum(a * a, axis=-1, keepdims=True)  # [R, 1]
+    gram = jnp.dot(a, a.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # MXU
+    d2 = jnp.maximum(sq + sq.T - 2.0 * gram, 0.0)
+    d = jnp.where(valid, jnp.sqrt(d2), 0.0)
+    r = jnp.sum(d, axis=-1, keepdims=True)  # [R, 1]
+    r_pos = r > 0.0
+    n = jnp.where(r_pos, d / jnp.where(r_pos, r, 1.0), 0.0)
+    return d, r, n
+
+
+def _fwd_kernel(z_ref, x_ref, out_ref, *, kp: int, k: int, alpha: float):
+    row_tile = z_ref.shape[0]
+    valid = _masks(row_tile, kp, k)
+    _, _, nz = _masked_distances(z_ref[:], valid)
+    _, _, nx = _masked_distances(x_ref[:], valid)
+    hinge = jnp.maximum(alpha * nz - nx, 0.0)
+    out_ref[0, 0] = jnp.sum(hinge)
+
+
+def _bwd_kernel(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int, k: int,
+                alpha: float, inv_m: float):
+    row_tile = z_ref.shape[0]
+    valid = _masks(row_tile, kp, k)
+    z = z_ref[:]
+    x = x_ref[:]
+    dz_mat, rz, nz = _masked_distances(z, valid)
+    dx_mat, rx, nx = _masked_distances(x, valid)
+
+    # Hinge slack: upstream cotangent g spread over the M = B*k*(k-1) pairs.
+    s = jnp.where((alpha * nz - nx > 0.0) & valid, g_ref[0, 0] * inv_m, 0.0)
+
+    def grad_wrt_points(a, d_mat, r, n, g_n):
+        # dL/dD via quotient rule through the row sums.
+        c = jnp.sum(g_n * n, axis=-1, keepdims=True)  # [R, 1]
+        r_pos = r > 0.0
+        g_d = jnp.where(
+            valid & r_pos, (g_n - c) / jnp.where(r_pos, r, 1.0), 0.0
+        )
+        # dL/da_t = rowsum(W)_t * a_t - (W @ a)_t
+        d_pos = d_mat > 0.0
+        w = jnp.where(d_pos, (g_d + g_d.T) / jnp.where(d_pos, d_mat, 1.0), 0.0)
+        row_w = jnp.sum(w, axis=-1, keepdims=True)  # [R, 1]
+        return row_w * a - jnp.dot(w, a, preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    dz_ref[:] = grad_wrt_points(z, dz_mat, rz, nz, alpha * s)
+    dx_ref[:] = grad_wrt_points(x, dx_mat, rx, nx, -s)
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fused_available(k: int) -> bool:
+    return 2 <= k and _round_up(k, _SUBLANE) <= _MAX_KP
+
+
+def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """Sum of hinge terms over all conditions/pairs (division by M on host)."""
+    *lead, k, dz_dim = z.shape
+    dx_dim = x.shape[-1]
+    batch = math.prod(lead)
+    kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
+    z2 = _pack(z, k, kp, batch, batch_pad)
+    x2 = _pack(x, k, kp, batch, batch_pad)
+
+    partials = pl.pallas_call(
+        functools.partial(_fwd_kernel, kp=kp, k=k, alpha=float(alpha)),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, dx_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * grid * row_tile * row_tile * (dz_dim + dx_dim),
+            bytes_accessed=4 * grid * row_tile * (dz_dim + dx_dim),
+            transcendentals=2 * grid * row_tile * row_tile,
+        ),
+        interpret=_should_interpret(),
+    )(z2, x2)
+    return jnp.sum(partials)
+
+
+def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
+               g: jnp.ndarray):
+    *lead, k, dz_dim = z.shape
+    dx_dim = x.shape[-1]
+    batch = math.prod(lead)
+    kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
+    z2 = _pack(z, k, kp, batch, batch_pad)
+    x2 = _pack(x, k, kp, batch, batch_pad)
+    m = batch * k * (k - 1)
+    g2 = jnp.reshape(g.astype(jnp.float32), (1, 1))
+
+    dz2, dx2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, kp=kp, k=k, alpha=float(alpha),
+                          inv_m=1.0 / m),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, dx_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, dx_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch_pad * kp, dz_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch_pad * kp, dx_dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * grid * row_tile * row_tile * (dz_dim + dx_dim),
+            bytes_accessed=8 * grid * row_tile * (dz_dim + dx_dim),
+            transcendentals=2 * grid * row_tile * row_tile,
+        ),
+        interpret=_should_interpret(),
+    )(z2, x2, g2)
+
+    def unpack(a2, d, orig_dtype):
+        a = a2.reshape(batch_pad, kp, d)[:batch, :k, :]
+        return a.reshape(*lead, k, d).astype(orig_dtype)
+
+    return unpack(dz2, dz_dim, z.dtype), unpack(dx2, dx_dim, x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray,
+                    alpha: float = 0.8) -> jnp.ndarray:
+    """NDiv hinge loss via the fused Pallas kernel.
+
+    Args / semantics identical to :func:`ndivplanning_tpu.ops.ndiv.
+    ndiv_loss_reference`; parity-tested against it (tests/test_ndiv_pallas.py).
+    Falls back to the jnp path for unsupported shapes (k < 2 handled there,
+    kp > _MAX_KP).
+    """
+    k = z.shape[-2]
+    if not _fused_available(k):
+        from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
+
+        return ndiv_loss_reference(z, x, alpha)
+    *lead, k, _ = z.shape
+    batch = 1
+    for n in lead:
+        batch *= n
+    m = batch * k * (k - 1)
+    return _fwd_sum(z, x, alpha) / m
+
+
+def _vjp_fwd(z, x, alpha):
+    return ndiv_loss_fused(z, x, alpha), (z, x)
+
+
+def _vjp_bwd(alpha, residuals, g):
+    z, x = residuals
+    k = z.shape[-2]
+    if not _fused_available(k):
+        from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
+
+        dz, dx = jax.grad(
+            lambda zz, xx: ndiv_loss_reference(zz, xx, alpha), argnums=(0, 1)
+        )(z, x)
+        return dz * g, dx * g
+    return _bwd_grads(z, x, alpha, g)
+
+
+ndiv_loss_fused.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,93 @@
+"""Fused Pallas NDiv kernel vs jnp reference — values AND gradients.
+
+On the CPU test backend the kernel runs in Pallas interpreter mode
+(ndiv_pallas._should_interpret), which executes the same kernel program —
+masking, packing, quotient-rule VJP — without TPU hardware (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndivplanning_tpu.ops.ndiv import ndiv_loss, ndiv_loss_reference
+from ndivplanning_tpu.ops.ndiv_pallas import ndiv_loss_fused
+
+
+def _case(seed, b, k, dz, dx):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(b, k, dz)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, k, dx)).astype(np.float32)),
+    )
+
+
+# Shapes cover: packed multi-block tiles (k=8 -> 32 blocks/tile), k padding
+# (k=5 -> kp=8), single-block tiles (k=256), batch padding (b=3 vs tb).
+SHAPES = [(1, 8, 2, 64), (4, 8, 2, 64), (3, 5, 3, 7), (2, 32, 2, 64), (1, 256, 4, 8)]
+
+
+@pytest.mark.parametrize("b,k,dz,dx", SHAPES)
+def test_forward_parity(b, k, dz, dx):
+    z, x = _case(b + k, b, k, dz, dx)
+    want = float(ndiv_loss_reference(z, x, 0.8))
+    got = float(ndiv_loss_fused(z, x, 0.8))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("b,k,dz,dx", [(2, 8, 2, 16), (3, 5, 3, 7), (1, 32, 2, 64)])
+def test_grad_parity(b, k, dz, dx):
+    z, x = _case(100 + b + k, b, k, dz, dx)
+    ref_gz, ref_gx = jax.grad(
+        lambda zz, xx: ndiv_loss_reference(zz, xx, 0.8), argnums=(0, 1)
+    )(z, x)
+    ker_gz, ker_gx = jax.grad(
+        lambda zz, xx: ndiv_loss_fused(zz, xx, 0.8), argnums=(0, 1)
+    )(z, x)
+    np.testing.assert_allclose(np.asarray(ker_gz), np.asarray(ref_gz),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ker_gx), np.asarray(ref_gx),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_upstream_cotangent_scaling():
+    z, x = _case(7, 2, 8, 2, 8)
+    _, vjp = jax.vjp(lambda zz, xx: ndiv_loss_fused(zz, xx, 0.8), z, x)
+    gz1, gx1 = vjp(jnp.float32(1.0))
+    gz3, gx3 = vjp(jnp.float32(3.0))
+    np.testing.assert_allclose(np.asarray(gz3), 3.0 * np.asarray(gz1),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gx3), 3.0 * np.asarray(gx1),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_degenerate_identical_samples_finite():
+    z = jnp.ones((2, 8, 2))
+    x = jnp.ones((2, 8, 4))
+    assert float(ndiv_loss_fused(z, x, 0.8)) == 0.0
+    gz, gx = jax.grad(
+        lambda zz, xx: ndiv_loss_fused(zz, xx, 0.8), argnums=(0, 1)
+    )(z, x)
+    assert np.all(np.isfinite(np.asarray(gz)))
+    assert np.all(np.isfinite(np.asarray(gx)))
+
+
+def test_front_door_impl_switch():
+    z, x = _case(42, 2, 8, 2, 8)
+    a = float(ndiv_loss(z, x, impl="jnp"))
+    b = float(ndiv_loss(z, x, impl="pallas"))
+    c = float(ndiv_loss(z, x, impl="auto"))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+    np.testing.assert_allclose(a, c, rtol=1e-5)
+
+
+def test_jit_and_grad_compose():
+    z, x = _case(9, 2, 8, 2, 8)
+
+    @jax.jit
+    def loss_and_grad(zz, xx):
+        return jax.value_and_grad(lambda z2: ndiv_loss_fused(z2, xx, 0.8))(zz)
+
+    val, g = loss_and_grad(z, x)
+    assert np.isfinite(float(val))
+    assert g.shape == z.shape
