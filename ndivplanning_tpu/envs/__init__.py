@@ -1,0 +1,29 @@
+"""Pure-functional planning environments (SURVEY.md §2 C6/C7, §3.3).
+
+The reference's Python ``Env`` with a scene/state API and a per-step Python
+loop becomes a pure-functional ``step(params, scene, state, action) ->
+(state, info)`` rolled out with ``lax.scan`` and batched with ``vmap`` so
+sim-in-the-loop candidate scoring runs entirely on TPU.
+"""
+
+from ndivplanning_tpu.envs.types import EnvParams, EnvState, Scene, StepInfo
+from ndivplanning_tpu.envs.pointmass import reset, step
+from ndivplanning_tpu.envs.rollout import (
+    rollout,
+    rollout_actions,
+    rollout_waypoints,
+    score_candidates,
+)
+
+__all__ = [
+    "EnvParams",
+    "EnvState",
+    "Scene",
+    "StepInfo",
+    "reset",
+    "step",
+    "rollout",
+    "rollout_actions",
+    "rollout_waypoints",
+    "score_candidates",
+]

@@ -1,0 +1,80 @@
+"""Point-mass dynamics: ``reset`` / ``step`` (SURVEY.md §2 C6, §3.3).
+
+Single-particle, double-integrator planar dynamics with wall clipping,
+disc-obstacle collision latching, and goal-reach termination — written
+branchless (``jnp.where`` masking everywhere) so a single compiled step
+serves ``vmap`` over candidates and ``lax.scan`` over the horizon.
+
+Dynamics-fidelity contract (tests/test_env.py golden tests vs the plain
+NumPy twin in tests/python_env_twin.py):
+
+  v' = clip_speed(v + clip(a, ±max_accel) * dt, max_speed)
+  p' = clip(p + v' * dt, bounds);  velocity component zeroed where the
+       wall clipped it (absorbing walls)
+  collided latches when p' enters any live obstacle disc
+  done latches when ||p' - goal|| < goal_radius; a done state is frozen
+  (pos/vel/t stop evolving) — the scan-safe early-termination mask.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ndivplanning_tpu.envs.types import EnvParams, EnvState, Scene, StepInfo
+
+
+def reset(params: EnvParams, scene: Scene) -> EnvState:
+    """Initial state at the scene's start position, at rest."""
+    del params
+    return EnvState(
+        pos=scene.start,
+        vel=jnp.zeros_like(scene.start),
+        t=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(0.0, jnp.float32),
+        collided=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def _clip_speed(vel: jnp.ndarray, max_speed: jnp.ndarray) -> jnp.ndarray:
+    speed = jnp.sqrt(jnp.sum(vel * vel))
+    scale = jnp.where(speed > max_speed, max_speed / jnp.maximum(speed, 1e-12), 1.0)
+    return vel * scale
+
+
+def _collision(pos: jnp.ndarray, scene: Scene) -> jnp.ndarray:
+    """1.0 if pos is inside any live obstacle disc, else 0.0."""
+    delta = pos[None, :] - scene.obstacles[:, :2]  # [MAX_OBS, 2]
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    inside = dist2 < jnp.square(scene.obstacles[:, 2])
+    hit = jnp.any(inside & (scene.obstacle_mask > 0.5))
+    return hit.astype(jnp.float32)
+
+
+def step(params: EnvParams, scene: Scene, state: EnvState,
+         action: jnp.ndarray) -> tuple[EnvState, StepInfo]:
+    """One dynamics step.  Pure; batch with ``vmap``, roll with ``lax.scan``."""
+    a = jnp.clip(action, -params.max_accel, params.max_accel)
+    vel = _clip_speed(state.vel + a * params.dt, params.max_speed)
+    raw_pos = state.pos + vel * params.dt
+    pos = jnp.clip(raw_pos, params.bounds_lo, params.bounds_hi)
+    vel = jnp.where(pos == raw_pos, vel, 0.0)  # absorbing walls
+
+    collided_now = _collision(pos, scene)
+    dist_to_goal = jnp.sqrt(jnp.sum(jnp.square(pos - scene.goal)))
+    reached_now = (dist_to_goal < params.goal_radius).astype(jnp.float32)
+
+    # Freeze the state once done (scan-safe early termination).
+    live = 1.0 - state.done
+    new_state = EnvState(
+        pos=state.pos + live * (pos - state.pos),
+        vel=state.vel + live * (vel - state.vel),
+        t=state.t + (live > 0.5).astype(jnp.int32),
+        done=jnp.maximum(state.done, live * reached_now),
+        collided=jnp.maximum(state.collided, live * collided_now),
+    )
+    info = StepInfo(
+        dist_to_goal=dist_to_goal,
+        collided_now=live * collided_now,
+        reached_now=live * reached_now,
+    )
+    return new_state, info

@@ -1,0 +1,110 @@
+"""Env golden tests: lax.scan env vs step-by-step Python twin (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndivplanning_tpu.envs import EnvParams, Scene, reset, step
+from ndivplanning_tpu.envs.rollout import rollout_actions
+
+from tests.python_env_twin import PyPointMassEnv
+
+
+def _run_jax(scene, actions, **kw):
+    params = EnvParams.create(**kw)
+    s = reset(params, scene)
+    positions = []
+    for a in actions:
+        s, _ = step(params, scene, s, jnp.asarray(a))
+        positions.append(np.asarray(s.pos))
+    return np.stack(positions), s
+
+
+def _run_py(scene_dict, actions, **kw):
+    env = PyPointMassEnv(**kw)
+    env.reset(scene_dict)
+    return np.stack([env.step(a) for a in actions]), env
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_golden_trajectories_match_python_twin(seed):
+    rng = np.random.default_rng(seed)
+    actions = rng.normal(scale=3.0, size=(40, 2)).astype(np.float32)
+    scene_dict = {
+        "start": [0.1, 0.1],
+        "goal": [0.9, 0.9],
+        "obstacles": [[0.5, 0.5, 0.1], [0.3, 0.7, 0.08]],
+    }
+    scene = Scene.create(scene_dict["start"], scene_dict["goal"],
+                         scene_dict["obstacles"])
+    jax_pos, jax_final = _run_jax(scene, actions)
+    py_pos, py_env = _run_py(scene_dict, actions)
+    np.testing.assert_allclose(jax_pos, py_pos, rtol=1e-5, atol=1e-6)
+    assert bool(jax_final.collided > 0.5) == py_env.collided
+    assert bool(jax_final.done > 0.5) == py_env.done
+
+
+def test_goal_termination_freezes_state():
+    scene = Scene.create([0.5, 0.5], [0.52, 0.5])
+    params = EnvParams.create(goal_radius=0.05)
+    s = reset(params, scene)
+    # Already within goal radius -> first step latches done, then freezes.
+    s1, info1 = step(params, scene, s, jnp.zeros(2))
+    assert float(s1.done) == 1.0
+    s2, _ = step(params, scene, s1, jnp.full((2,), 100.0))
+    np.testing.assert_array_equal(np.asarray(s2.pos), np.asarray(s1.pos))
+    assert int(s2.t) == int(s1.t)
+
+
+def test_wall_clipping_zeroes_velocity():
+    scene = Scene.create([0.0, 0.5], [0.9, 0.5])
+    params = EnvParams.create()
+    s = reset(params, scene)
+    s, _ = step(params, scene, s, jnp.asarray([-10.0, 0.0]))
+    assert float(s.pos[0]) == 0.0
+    assert float(s.vel[0]) == 0.0
+
+
+def test_collision_latches():
+    scene = Scene.create([0.45, 0.5], [0.9, 0.5], [[0.5, 0.5, 0.1]])
+    params = EnvParams.create()
+    s = reset(params, scene)
+    s, info = step(params, scene, s, jnp.asarray([4.0, 0.0]))
+    assert float(s.collided) == 1.0
+    # Leaving the obstacle does not clear the latch.
+    for _ in range(20):
+        s, _ = step(params, scene, s, jnp.asarray([4.0, 0.0]))
+    assert float(s.collided) == 1.0
+
+
+def test_masked_obstacles_ignored():
+    # A padding row at the origin must not collide.
+    scene = Scene.create([0.0, 0.0], [1.0, 1.0])
+    params = EnvParams.create()
+    s = reset(params, scene)
+    s, _ = step(params, scene, s, jnp.zeros(2))
+    assert float(s.collided) == 0.0
+
+
+def test_scan_rollout_equals_stepwise():
+    rng = np.random.default_rng(3)
+    actions = jnp.asarray(rng.normal(scale=2.0, size=(32, 2)).astype(np.float32))
+    scene = Scene.create([0.1, 0.2], [0.8, 0.9], [[0.5, 0.5, 0.1]])
+    params = EnvParams.create()
+    res = rollout_actions(params, scene, actions)
+    stepwise, final = _run_jax(scene, np.asarray(actions))
+    np.testing.assert_allclose(np.asarray(res.positions), stepwise,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.final_state.pos),
+                               np.asarray(final.pos), rtol=1e-6)
+
+
+def test_speed_limit_respected():
+    scene = Scene.create([0.0, 0.0], [1.0, 1.0])
+    params = EnvParams.create(max_speed=2.0, bounds_hi=100.0)
+    s = reset(params, scene)
+    for _ in range(10):
+        s, _ = step(params, scene, s, jnp.asarray([4.0, 4.0]))
+    speed = float(jnp.sqrt(jnp.sum(s.vel**2)))
+    assert speed <= 2.0 + 1e-5
