@@ -1,0 +1,101 @@
+"""Trajectory generator and discriminator MLPs (SURVEY.md §2 C1/C2).
+
+The reference's models are MLP G/D with optional conditioning
+(BASELINE.json:5,7-9).  TPU notes: hidden widths default to 256 — a
+multiple of the 128-lane MXU tile — and the k diversity samples are
+flattened into the batch axis before the dense stack so every matmul is
+one large ``[B*k, d] @ [d, h]`` MXU op rather than k small ones.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MLPTrunk(nn.Module):
+    """Dense-ReLU trunk shared by G and D."""
+
+    hidden: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return x
+
+
+class Generator(nn.Module):
+    """``G(cond_embed, z) -> trajectories``.
+
+    Args (call):
+      cond_embed: ``[B, C]`` condition embedding (C may be 0 for the
+        unconditioned point-mass config).
+      z: ``[B, k, zdim]`` latent draws, k diversity samples per condition.
+
+    Returns:
+      ``[B, k, horizon, state_dim]`` trajectories.  ``output`` selects the
+      head activation: "linear" (default) or "sigmoid" (squashes waypoints
+      into the unit scene box).
+    """
+
+    horizon: int
+    state_dim: int = 2
+    hidden: Sequence[int] = (256, 256)
+    output: str = "linear"
+
+    @nn.compact
+    def __call__(self, cond_embed: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        b, k, _ = z.shape
+        if cond_embed.shape[-1] > 0:
+            c = jnp.broadcast_to(cond_embed[:, None, :],
+                                 (b, k, cond_embed.shape[-1]))
+            x = jnp.concatenate([c, z], axis=-1)
+        else:
+            x = z
+        x = x.reshape(b * k, -1)  # flatten k into batch: one big MXU matmul
+        x = MLPTrunk(self.hidden)(x)
+        x = nn.Dense(self.horizon * self.state_dim)(x)
+        if self.output == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.output != "linear":
+            raise ValueError(f"unknown output activation {self.output!r}")
+        return x.reshape(b, k, self.horizon, self.state_dim)
+
+
+class Discriminator(nn.Module):
+    """``D(cond_embed, traj) -> logit`` (real/fake score).
+
+    Accepts trajectories shaped ``[B, horizon, state_dim]`` or
+    ``[B, k, horizon, state_dim]`` (k folded into batch).  Returns logits
+    with the trailing singleton squeezed.
+    """
+
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, cond_embed: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+        if traj.ndim == 4:  # [B, k, H, S] -> per-sample conditioning
+            b, k = traj.shape[:2]
+            flat = traj.reshape(b, k, -1)
+            if cond_embed.shape[-1] > 0:
+                c = jnp.broadcast_to(cond_embed[:, None, :],
+                                     (b, k, cond_embed.shape[-1]))
+                x = jnp.concatenate([c, flat], axis=-1)
+            else:
+                x = flat
+            x = x.reshape(b * k, -1)
+            lead = (b, k)
+        else:  # [B, H, S]
+            b = traj.shape[0]
+            flat = traj.reshape(b, -1)
+            if cond_embed.shape[-1] > 0:
+                x = jnp.concatenate([cond_embed, flat], axis=-1)
+            else:
+                x = flat
+            lead = (b,)
+        x = MLPTrunk(self.hidden)(x)
+        logit = nn.Dense(1)(x)
+        return logit.reshape(*lead)

@@ -1,0 +1,112 @@
+"""Train state: params, optimizer states, PRNG key, step counter.
+
+SURVEY.md §3.4: the PRNG key lives *inside* the state and every consumer
+splits from it explicitly — the bitwise-reproducibility discipline.  The
+whole state is one pytree so ``donate_argnums`` can recycle its buffers
+each step and orbax can checkpoint/restore it losslessly (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ndivplanning_tpu.models.conditioning import (
+    ConditionEncoder,
+    condition_input_example,
+)
+from ndivplanning_tpu.models.mlp import Discriminator, Generator
+from ndivplanning_tpu.utils.config import Config
+
+
+class ConditionedGenerator(nn.Module):
+    """G = own condition encoder + MLP trunk + trajectory head (C1+C3).
+
+    G and D deliberately do NOT share the encoder: a shared encoder would
+    let D's update drag G's representation around mid-step.
+    """
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, conditions: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        cond_embed = ConditionEncoder(
+            mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim
+        )(conditions)
+        return Generator(
+            horizon=self.cfg.horizon,
+            state_dim=self.cfg.state_dim,
+            hidden=self.cfg.g_hidden,
+            output=self.cfg.generator_output,
+        )(cond_embed, z)
+
+
+class ConditionedDiscriminator(nn.Module):
+    """D = own condition encoder + MLP scorer (C2+C3)."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, conditions: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+        cond_embed = ConditionEncoder(
+            mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim
+        )(conditions)
+        return Discriminator(hidden=self.cfg.d_hidden)(cond_embed, traj)
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Everything a training run is: restoring this pytree resumes the
+    exact bitwise loss curve (SURVEY.md §5 checkpoint/resume)."""
+
+    step: jnp.ndarray  # int32 scalar
+    rng: jax.Array  # PRNG key, split every step
+    g_params: dict
+    d_params: dict
+    g_opt_state: optax.OptState
+    d_opt_state: optax.OptState
+
+
+def build_models(cfg: Config):
+    """(generator, discriminator) modules for a config."""
+    return ConditionedGenerator(cfg), ConditionedDiscriminator(cfg)
+
+
+def build_optimizers(cfg: Config):
+    """Separate Adam chains for G and D (SURVEY.md §2 C11)."""
+    g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    return g_tx, d_tx
+
+
+def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
+    """Initialise params/optimizers from the config's seed (SURVEY §3.4)."""
+    seed = cfg.seed if seed is None else seed
+    root = jax.random.PRNGKey(seed)
+    k_g, k_d, k_run = jax.random.split(root, 3)
+
+    gen, disc = build_models(cfg)
+    cond_ex = condition_input_example(cfg.conditioning, batch=2,
+                                      image_size=cfg.image_size)
+    z_ex = jnp.zeros((2, cfg.k, cfg.latent_dim), jnp.float32)
+    traj_ex = jnp.zeros((2, cfg.horizon, cfg.state_dim), jnp.float32)
+
+    g_params = gen.init(k_g, cond_ex, z_ex)
+    d_params = disc.init(k_d, cond_ex, traj_ex)
+
+    g_tx, d_tx = build_optimizers(cfg)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        rng=k_run,
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+    )
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

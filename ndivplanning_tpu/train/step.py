@@ -1,0 +1,120 @@
+"""The fused NDiv-GAN train step (SURVEY.md §2 C8, §3.1).
+
+The reference's eager per-batch loop (D forward/backward/step, then G
+forward/backward/step) becomes ONE jitted pure function: alternating-
+update semantics are preserved inside the single compiled program —
+``stop_gradient`` detaches the fake batch for the D update, and the G
+update runs against the *already-updated* D params (SURVEY.md §7
+hard-parts #3).  ``donate_argnums`` recycles the state buffers in place.
+
+Host<->device boundary: exactly one call per step; with
+:func:`train_step_fused` even the batch sampling is traced into the
+program, so steady-state training never touches the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ndivplanning_tpu.data.tasks import Batch, make_task
+from ndivplanning_tpu.ops.gan_losses import get_gan_losses
+from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
+from ndivplanning_tpu.train.state import (
+    TrainState,
+    build_models,
+    build_optimizers,
+)
+from ndivplanning_tpu.utils.config import Config
+
+
+def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+    """NDiv loss on [B, k, ...] latents/trajectories per the config impl."""
+    b, k = z.shape[:2]
+    x = traj.reshape(b, k, -1)
+    if cfg.ndiv_impl == "jnp":
+        return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
+    from ndivplanning_tpu.ops import ndiv_pallas
+
+    if cfg.ndiv_impl == "pallas" or jax.default_backend() == "tpu":
+        return ndiv_pallas.ndiv_loss_fused(z, x, cfg.ndiv_alpha)
+    return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
+
+
+def train_step_impl(cfg: Config, state: TrainState, batch: Batch):
+    """One G+D+NDiv update.  Pure; jit/shard_map-able.
+
+    Returns (new_state, metrics) with metrics a dict of f32 scalars.
+    """
+    gen, disc = build_models(cfg)
+    g_tx, d_tx = build_optimizers(cfg)
+    d_loss_fn_of, g_loss_fn_of = get_gan_losses(cfg.gan_loss)
+
+    rng, k_z = jax.random.split(state.rng)
+    b = batch.real_traj.shape[0]
+    z = jax.random.normal(k_z, (b, cfg.k, cfg.latent_dim), jnp.float32)
+
+    # Fake batch for the D update (detached — SURVEY.md §3.1).
+    tau_fake = gen.apply(state.g_params, batch.conditions, z)
+    tau_fake_sg = jax.lax.stop_gradient(tau_fake)
+
+    # ---------------- D update ----------------
+    def d_loss(d_params):
+        real_logits = disc.apply(d_params, batch.conditions, batch.real_traj)
+        fake_logits = disc.apply(d_params, batch.conditions, tau_fake_sg)
+        return d_loss_fn_of(real_logits, fake_logits)
+
+    d_loss_val, d_grads = jax.value_and_grad(d_loss)(state.d_params)
+    d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
+                                         state.d_params)
+    d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
+
+    # ---------------- G update (against updated D) ----------------
+    def g_loss(g_params):
+        tau = gen.apply(g_params, batch.conditions, z)
+        fake_logits = disc.apply(d_params, batch.conditions, tau)
+        adv = g_loss_fn_of(fake_logits)
+        ndiv = _ndiv(cfg, z, tau)
+        return adv + cfg.ndiv_weight * ndiv, (adv, ndiv)
+
+    (g_total, (g_adv, g_ndiv)), g_grads = jax.value_and_grad(
+        g_loss, has_aux=True
+    )(state.g_params)
+    g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
+                                         state.g_params)
+    g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
+
+    new_state = TrainState(
+        step=state.step + 1,
+        rng=rng,
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_opt_state,
+        d_opt_state=d_opt_state,
+    )
+    metrics = {
+        "d_loss": d_loss_val,
+        "g_adv": g_adv,
+        "g_ndiv": g_ndiv,
+        "g_total": g_total,
+    }
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def train_step(cfg: Config, state: TrainState, batch: Batch):
+    """Jitted train step on an externally-sampled batch (SURVEY.md §3.1)."""
+    return train_step_impl(cfg, state, batch)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def train_step_fused(cfg: Config, state: TrainState):
+    """Train step with the on-device task sampler fused in: the whole
+    sample -> G/D update pipeline is one compiled program, zero host I/O."""
+    task = make_task(cfg)
+    rng, k_batch = jax.random.split(state.rng)
+    batch = task.sample(k_batch, cfg.batch_size)
+    state = state.replace(rng=rng)
+    return train_step_impl(cfg, state, batch)

@@ -1,0 +1,119 @@
+"""Typed, frozen, hashable configs + the five reference workload presets.
+
+SURVEY.md §2 C12 / §5 config system: one preset per BASELINE.json:7-11
+workload, CLI overrides, hashable so configs can key jit caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All hyperparameters for one NDiv-GAN workload.
+
+    Frozen + tuple-valued fields => hashable => usable as a jit static
+    argument (SURVEY.md §5).
+    """
+
+    # Identity
+    name: str = "pointmass2d"
+    seed: int = 0
+
+    # Task / conditioning
+    conditioning: str = "none"  # none | startgoal | image
+    image_size: int = 32
+    horizon: int = 32
+    state_dim: int = 2
+
+    # Diversity sampling
+    batch_size: int = 64  # global batch of conditions
+    k: int = 8  # diversity samples per condition
+    latent_dim: int = 2
+
+    # Models
+    g_hidden: Tuple[int, ...] = (256, 256)
+    d_hidden: Tuple[int, ...] = (256, 256)
+    cond_embed_dim: int = 64
+    generator_output: str = "linear"  # linear | sigmoid
+
+    # Losses
+    gan_loss: str = "bce"  # bce | lsgan | hinge
+    ndiv_alpha: float = 0.8
+    ndiv_weight: float = 1.0
+    ndiv_impl: str = "auto"  # auto | pallas | jnp
+
+    # Optimization
+    g_lr: float = 1e-3
+    d_lr: float = 1e-3
+    adam_b1: float = 0.5  # GAN-standard beta1
+    adam_b2: float = 0.999
+    steps: int = 10_000
+
+    # Planning / eval
+    rollout_mode: str = "waypoints"  # waypoints | actions
+    n_candidates: int = 1000
+    eval_every: int = 500
+
+    # Parallelism (SURVEY.md §2 parallelism table)
+    dp_shards: int = 1  # data-parallel mesh axis
+    div_shards: int = 1  # diversity-sample-sharding mesh axis
+
+    # Bookkeeping
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    workdir: str = "/tmp/ndivplanning_tpu"
+
+    @property
+    def traj_dim(self) -> int:
+        return self.horizon * self.state_dim
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# The five reference workloads, BASELINE.json:7-11.
+PRESETS = {
+    # 1. "2D point-mass NDiv-GAN: MLP G/D, latent dim 2, batch 64, k=8"
+    "pointmass2d": Config(
+        name="pointmass2d", conditioning="none", batch_size=64, k=8,
+        latent_dim=2,
+    ),
+    # 2. "Goal-conditioned trajectory NDiv-GAN: start/goal MLP conditioning,
+    #     batch 256, horizon 32"
+    "goalcond": Config(
+        name="goalcond", conditioning="startgoal", batch_size=256, k=8,
+        latent_dim=2, horizon=32, generator_output="sigmoid",
+    ),
+    # 3. "Image-conditioned generator: conv encoder + trajectory decoder
+    #     head, batch 512"
+    "imagecond": Config(
+        name="imagecond", conditioning="image", batch_size=512, k=8,
+        latent_dim=2, generator_output="sigmoid",
+    ),
+    # 4. "Sim-in-the-loop planning: vmapped env rollouts scoring 1k
+    #     candidate trajectories per step" — an eval-centric preset.
+    "planning": Config(
+        name="planning", conditioning="image", batch_size=64, k=8,
+        latent_dim=2, n_candidates=1000, generator_output="sigmoid",
+    ),
+    # 5. "Pod-scale data-parallel NDiv-GAN: v5p-8 mesh, global batch 8k,
+    #     k=32 diversity samples"
+    "pod_dp": Config(
+        name="pod_dp", conditioning="startgoal", batch_size=8192, k=32,
+        latent_dim=2, dp_shards=8, generator_output="sigmoid",
+    ),
+}
+
+
+def get_config(preset: str, **overrides) -> Config:
+    """Fetch a preset by name with field overrides."""
+    try:
+        cfg = PRESETS[preset]
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {preset!r}; choose from {sorted(PRESETS)}"
+        ) from None
+    return cfg.replace(**overrides) if overrides else cfg
