@@ -1,0 +1,107 @@
+"""Single CLI entry point (SURVEY.md §2 C12, L7).
+
+    python -m ndivplanning_tpu.cli train --preset pointmass2d --steps 2000
+    python -m ndivplanning_tpu.cli eval  --preset goalcond --workdir /tmp/run
+    python -m ndivplanning_tpu.cli plan  --preset planning --workdir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="pointmass2d")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--k", type=int, default=None)
+    p.add_argument("--ndiv-impl", default=None, choices=["auto", "pallas", "jnp"])
+    p.add_argument("--gan-loss", default=None, choices=["bce", "lsgan", "hinge"])
+    p.add_argument("--dp-shards", type=int, default=None)
+    p.add_argument("--div-shards", type=int, default=None)
+
+
+def _build_config(args):
+    from ndivplanning_tpu.utils.config import get_config
+
+    overrides = {}
+    for field, attr in [
+        ("seed", "seed"), ("steps", "steps"), ("batch_size", "batch_size"),
+        ("k", "k"), ("ndiv_impl", "ndiv_impl"), ("gan_loss", "gan_loss"),
+        ("workdir", "workdir"), ("dp_shards", "dp_shards"),
+        ("div_shards", "div_shards"),
+    ]:
+        v = getattr(args, attr)
+        if v is not None:
+            overrides[field] = v
+    return get_config(args.preset, **overrides)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "eval", "plan"):
+        p = sub.add_parser(name)
+        _add_common(p)
+    args = parser.parse_args(argv)
+    cfg = _build_config(args)
+
+    if args.cmd == "train":
+        from ndivplanning_tpu.train.loop import train
+
+        state, history = train(cfg)
+        print(json.dumps({"final_step": int(state.step),
+                          "last": history[-1] if history else None}))
+        return 0
+
+    if args.cmd == "eval":
+        from ndivplanning_tpu.train.evaluate import evaluate
+        from ndivplanning_tpu.train.state import create_train_state
+        from ndivplanning_tpu.utils import checkpoint as ckpt
+
+        state = create_train_state(cfg)
+        restored = ckpt.restore_latest(cfg.workdir, state)
+        if restored is not None:
+            state = restored
+        out = evaluate(cfg, state, jax.random.PRNGKey(cfg.seed + 2))
+        print(json.dumps({k: float(v) for k, v in out.items()}))
+        return 0
+
+    if args.cmd == "plan":
+        from ndivplanning_tpu.data.scenes import random_scene, rasterize_scene
+        from ndivplanning_tpu.models.conditioning import condition_input_example
+        from ndivplanning_tpu.planning.planner import plan
+        from ndivplanning_tpu.train.state import create_train_state
+        from ndivplanning_tpu.utils import checkpoint as ckpt
+        import jax.numpy as jnp
+
+        state = create_train_state(cfg)
+        restored = ckpt.restore_latest(cfg.workdir, state)
+        if restored is not None:
+            state = restored
+        scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
+        if cfg.conditioning == "image":
+            condition = rasterize_scene(scene, size=cfg.image_size)
+        elif cfg.conditioning == "startgoal":
+            condition = jnp.concatenate([scene.start, scene.goal])
+        else:
+            condition = jnp.zeros((0,), jnp.float32)
+        result = plan(cfg, state, scene, condition,
+                      jax.random.PRNGKey(cfg.seed + 4))
+        print(json.dumps({
+            "best_score": float(result.best_score),
+            "best_reached": float(result.best_reached),
+            "n_candidates": int(result.scores.shape[0]),
+        }))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""Sim-in-the-loop planner: 1k-candidate generate->rollout->select (L5).
+
+SURVEY.md §3.3 — the reference scores 1000 candidate trajectories per
+planning step with a Python loop over env steps; here the whole pipeline
+(latent draws -> generator forward -> vmapped lax.scan rollouts -> best /
+diverse-top-m selection) is one jitted program (BASELINE.json:10).
+
+Diverse top-m selection: greedy farthest-point on trajectory L2 distance
+among the better-scoring half of candidates — static-shape `lax`
+control flow, no data-dependent Python (SURVEY.md §7 hard-parts #4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
+from ndivplanning_tpu.envs.types import EnvParams, Scene
+from ndivplanning_tpu.ops.pairwise import pairwise_l2
+from ndivplanning_tpu.train.state import TrainState, build_models
+from ndivplanning_tpu.utils.config import Config
+
+
+class PlanResult(NamedTuple):
+    best_traj: jnp.ndarray  # [H, S] lowest-cost candidate
+    best_score: jnp.ndarray  # scalar
+    best_reached: jnp.ndarray  # scalar {0,1}
+    diverse_idx: jnp.ndarray  # [m] indices of the diverse top-m set
+    scores: jnp.ndarray  # [N] all candidate scores
+    taus: jnp.ndarray  # [N, H, S] all candidates
+
+
+def _diverse_top_m(flat: jnp.ndarray, scores: jnp.ndarray, m: int):
+    """Greedy farthest-point selection among the best-scoring half."""
+    n = scores.shape[0]
+    half = n // 2
+    order = jnp.argsort(scores)  # best first
+    pool = order[:half]
+    pool_flat = flat[pool]  # [half, D]
+    dist = pairwise_l2(pool_flat[None])[0]  # [half, half]
+
+    def body(carry, _):
+        selected_mask, min_dist, last = carry
+        # distance of every pool member to the last selected one
+        min_dist = jnp.minimum(min_dist, dist[last])
+        masked = jnp.where(selected_mask, -jnp.inf, min_dist)
+        nxt = jnp.argmax(masked)
+        return (selected_mask.at[nxt].set(True), min_dist, nxt), nxt
+
+    init_mask = jnp.zeros((half,), bool).at[0].set(True)
+    init = (init_mask, jnp.full((half,), jnp.inf), jnp.asarray(0))
+    (_, _, _), picked = jax.lax.scan(body, init, None, length=m - 1)
+    sel = jnp.concatenate([jnp.asarray([0]), picked])
+    return pool[sel]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_candidates", "n_diverse", "weights")
+)
+def plan(cfg: Config, state: TrainState, scene: Scene, condition: jnp.ndarray,
+         key: jax.Array, n_candidates: int | None = None, n_diverse: int = 8,
+         weights: ScoreWeights = ScoreWeights()) -> PlanResult:
+    """One planning step for a single scene.
+
+    Args:
+      condition: raw condition input for this scene, WITHOUT batch dim
+        (``[0]``, ``[4]`` or ``[S, S, 3]`` per the conditioning mode).
+    """
+    n = cfg.n_candidates if n_candidates is None else n_candidates
+    gen, _ = build_models(cfg)
+    z = jax.random.normal(key, (1, n, cfg.latent_dim))
+    taus = gen.apply(state.g_params, condition[None], z)[0]  # [N, H, S]
+
+    params = EnvParams.create()
+    results = jax.vmap(
+        lambda t: _rollout_scan(params, scene, t, cfg.rollout_mode, weights)
+    )(taus)
+
+    best = jnp.argmin(results.score)
+    flat = taus.reshape(n, -1)
+    diverse_idx = _diverse_top_m(flat, results.score, n_diverse)
+    return PlanResult(
+        best_traj=taus[best],
+        best_score=results.score[best],
+        best_reached=results.reached[best],
+        diverse_idx=diverse_idx,
+        scores=results.score,
+        taus=taus,
+    )

@@ -1,0 +1,74 @@
+"""Evaluation: diversity / quality / rollout-success metrics (C10).
+
+SURVEY.md §3.5: sample conditions, draw k latents, generate, then
+- diversity: mean pairwise L2 between the k trajectories per condition,
+  plus the NDiv loss value itself (the tracked metric, BASELINE.json:2),
+- quality: endpoint distance to goal,
+- planning: roll every generated trajectory through the env
+  (vmap over B x k of the lax.scan rollout) for success/collision rates.
+
+All jitted; one device->host transfer for the final scalar dict.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ndivplanning_tpu.data.tasks import make_task
+from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
+from ndivplanning_tpu.envs.types import EnvParams
+from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
+from ndivplanning_tpu.ops.pairwise import pairwise_l2
+from ndivplanning_tpu.train.state import TrainState, build_models
+from ndivplanning_tpu.utils.config import Config
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "eval_batch"))
+def evaluate(cfg: Config, state: TrainState, key: jax.Array,
+             eval_batch: int = 64):
+    """Returns a dict of f32 scalars (see module docstring)."""
+    task = make_task(cfg)
+    k_batch, k_z = jax.random.split(key)
+    batch = task.sample(k_batch, eval_batch)
+
+    gen, _ = build_models(cfg)
+    z = jax.random.normal(k_z, (eval_batch, cfg.k, cfg.latent_dim))
+    taus = gen.apply(state.g_params, batch.conditions, z)  # [B, k, H, S]
+    flat = taus.reshape(eval_batch, cfg.k, -1)
+
+    # Diversity
+    pd = pairwise_l2(flat)  # [B, k, k]
+    off = ~jnp.eye(cfg.k, dtype=bool)
+    mean_pairwise = jnp.sum(jnp.where(off, pd, 0.0)) / (
+        eval_batch * cfg.k * (cfg.k - 1)
+    )
+    ndiv = ndiv_loss_reference(z, flat, cfg.ndiv_alpha)
+
+    # Quality: trajectory endpoint vs scene goal
+    endpoints = taus[:, :, -1, :]  # [B, k, S]
+    goal = batch.scenes.goal[:, None, :]
+    endpoint_err = jnp.mean(
+        jnp.sqrt(jnp.sum(jnp.square(endpoints - goal), axis=-1))
+    )
+
+    # Sim-in-the-loop: roll all B*k generated trajectories
+    params = EnvParams.create()
+    weights = ScoreWeights()
+
+    def roll_one(scene, tau):
+        return _rollout_scan(params, scene, tau, cfg.rollout_mode, weights)
+
+    per_cond = jax.vmap(
+        lambda scene, taus_k: jax.vmap(lambda t: roll_one(scene, t))(taus_k)
+    )(batch.scenes, taus)
+    return {
+        "eval_mean_pairwise_dist": mean_pairwise,
+        "eval_ndiv": ndiv,
+        "eval_endpoint_err": endpoint_err,
+        "eval_success_rate": jnp.mean(per_cond.reached),
+        "eval_collision_rate": jnp.mean(per_cond.collided),
+        "eval_mean_score": jnp.mean(per_cond.score),
+    }

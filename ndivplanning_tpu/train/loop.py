@@ -1,0 +1,93 @@
+"""Host-side training loop (SURVEY.md §3.1 outer loop, C13 wiring).
+
+The loop's only jobs are: call the fused jitted step, surface metrics at
+log intervals (a single device->host transfer of four scalars — the step
+itself never blocks), checkpoint every N steps, and restore-on-start so a
+killed run resumes its exact bitwise loss curve (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ndivplanning_tpu.train.evaluate import evaluate
+from ndivplanning_tpu.train.state import TrainState, create_train_state
+from ndivplanning_tpu.train.step import train_step_fused
+from ndivplanning_tpu.utils import checkpoint as ckpt
+from ndivplanning_tpu.utils.config import Config
+from ndivplanning_tpu.utils.metrics import MetricsWriter
+
+
+def train(cfg: Config, num_steps: Optional[int] = None,
+          workdir: Optional[str] = None, restore: bool = True,
+          echo: bool = True):
+    """Train an NDiv-GAN per ``cfg``.
+
+    Returns (final_state, history) where history is the list of logged
+    metric rows (used by the determinism tests).
+    """
+    num_steps = cfg.steps if num_steps is None else num_steps
+    workdir = cfg.workdir if workdir is None else workdir
+
+    state = create_train_state(cfg)
+    if restore and workdir:
+        restored = ckpt.restore_latest(workdir, state)
+        if restored is not None:
+            state = restored
+
+    # Multi-device configs route through the sharded step (parallel/).
+    if cfg.dp_shards * cfg.div_shards > 1:
+        from ndivplanning_tpu.parallel.sharded_step import (
+            make_sharded_train_step,
+            shard_state,
+        )
+
+        step_fn, mesh = make_sharded_train_step(cfg)
+        state = shard_state(state, mesh)
+    else:
+        step_fn = lambda s: train_step_fused(cfg, s)
+
+    writer = MetricsWriter(workdir, echo=echo)
+    history: list[dict] = []
+    t_last = time.monotonic()
+    start_step = int(state.step)
+
+    for i in range(start_step, num_steps):
+        state, metrics = step_fn(state)
+        step = i + 1
+        if step % cfg.log_every == 0 or step == num_steps:
+            now = time.monotonic()
+            scalars = {k: float(v) for k, v in metrics.items()}
+            window = cfg.log_every if step % cfg.log_every == 0 else (
+                step - start_step) % cfg.log_every or cfg.log_every
+            scalars["steps_per_sec"] = window / max(now - t_last, 1e-9)
+            t_last = now
+            writer.write(step, scalars)
+            history.append({"step": step, **scalars})
+        if workdir and cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+            ckpt.save_checkpoint(workdir, state)
+        if cfg.eval_every and step % cfg.eval_every == 0:
+            eval_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), step)
+            ev = {k: float(v) for k, v in
+                  evaluate(cfg, state, eval_key).items()}
+            writer.write(step, ev, kind="eval")
+
+    if workdir and cfg.checkpoint_every:
+        ckpt.save_checkpoint(workdir, state)
+    writer.close()
+    return state, history
+
+
+def run_steps(cfg: Config, state: TrainState, n: int):
+    """Run n fused steps without any logging/IO; returns (state, last_metrics).
+
+    Utility for tests and benchmarks.
+    """
+    metrics = None
+    for _ in range(n):
+        state, metrics = train_step_fused(cfg, state)
+    return state, metrics

@@ -1,0 +1,50 @@
+"""Structured metrics logging (SURVEY.md §5 metrics/observability).
+
+A small JSONL writer: one line per log event, host-side, fed from a single
+device-to-host transfer per log interval.  The three contract metrics
+(BASELINE.json:2 — train steps/sec/chip, NDiv pairs/sec, rollout
+steps/sec) are emitted by bench.py in the same row format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import IO, Mapping
+
+
+class MetricsWriter:
+    """Append-only JSONL metrics stream + optional console echo."""
+
+    def __init__(self, workdir: str | None = None, echo: bool = True,
+                 filename: str = "metrics.jsonl"):
+        self._echo = echo
+        self._fh: IO[str] | None = None
+        if workdir is not None:
+            os.makedirs(workdir, exist_ok=True)
+            self._fh = open(os.path.join(workdir, filename), "a")
+        self._t0 = time.monotonic()
+
+    def write(self, step: int, scalars: Mapping[str, float], **extra) -> None:
+        row = {
+            "step": int(step),
+            "wall_s": round(time.monotonic() - self._t0, 3),
+            **{k: float(v) for k, v in scalars.items()},
+            **extra,
+        }
+        if self._fh is not None:
+            self._fh.write(json.dumps(row) + "\n")
+            self._fh.flush()
+        if self._echo:
+            parts = " ".join(
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items() if k != "wall_s"
+            )
+            print(f"[metrics] {parts}", file=sys.stderr)
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

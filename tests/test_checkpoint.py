@@ -1,0 +1,68 @@
+"""Checkpoint/resume: a restored run continues the exact bitwise loss
+curve (SURVEY.md §5 failure detection / checkpoint-resume; resume-after-
+kill simulated by restoring into a fresh state)."""
+
+import numpy as np
+
+from ndivplanning_tpu.train.state import create_train_state
+from ndivplanning_tpu.train.step import train_step_fused
+from ndivplanning_tpu.utils import checkpoint as ckpt
+from ndivplanning_tpu.utils.config import get_config
+
+
+def _cfg(tmp):
+    return get_config("pointmass2d", batch_size=8, k=4, g_hidden=(32,),
+                      d_hidden=(32,), cond_embed_dim=8,
+                      workdir=str(tmp))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path)
+    state = create_train_state(cfg)
+    for _ in range(3):
+        state, _ = train_step_fused(cfg, state)
+    ckpt.save_checkpoint(cfg.workdir, state)
+
+    template = create_train_state(cfg)
+    restored = ckpt.restore_latest(cfg.workdir, template)
+    assert restored is not None
+    assert int(restored.step) == 3
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_bitwise_curve(tmp_path):
+    cfg = _cfg(tmp_path)
+
+    # Uninterrupted 10-step run.
+    state = create_train_state(cfg)
+    full = []
+    for _ in range(10):
+        state, m = train_step_fused(cfg, state)
+        full.append(float(m["g_ndiv"]))
+
+    # Killed-at-5 run: checkpoint, fresh process simulated by new state.
+    state2 = create_train_state(cfg)
+    first = []
+    for _ in range(5):
+        state2, m = train_step_fused(cfg, state2)
+        first.append(float(m["g_ndiv"]))
+    ckpt.save_checkpoint(cfg.workdir, state2, step=5)
+
+    resumed = ckpt.restore_latest(cfg.workdir, create_train_state(cfg))
+    second = []
+    for _ in range(5):
+        resumed, m = train_step_fused(cfg, resumed)
+        second.append(float(m["g_ndiv"]))
+
+    np.testing.assert_array_equal(np.asarray(full),
+                                  np.asarray(first + second))
+
+
+def test_restore_none_when_empty(tmp_path):
+    cfg = _cfg(tmp_path / "empty")
+    template = create_train_state(cfg)
+    assert ckpt.restore_latest(cfg.workdir, template) is None

@@ -1,0 +1,56 @@
+"""Evaluation metrics (C10) and sim-in-the-loop planner (L5) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndivplanning_tpu.data.scenes import random_scene, rasterize_scene
+from ndivplanning_tpu.planning.planner import plan
+from ndivplanning_tpu.train.evaluate import evaluate
+from ndivplanning_tpu.train.state import create_train_state
+from ndivplanning_tpu.utils.config import get_config
+
+
+def _cfg(preset="pointmass2d", **kw):
+    d = dict(batch_size=8, k=4, g_hidden=(32,), d_hidden=(32,),
+             cond_embed_dim=8, image_size=16)
+    d.update(kw)
+    return get_config(preset, **d)
+
+
+def test_evaluate_returns_finite_scalars():
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    out = evaluate(cfg, state, jax.random.PRNGKey(0), eval_batch=8)
+    expected = {"eval_mean_pairwise_dist", "eval_ndiv", "eval_endpoint_err",
+                "eval_success_rate", "eval_collision_rate", "eval_mean_score"}
+    assert set(out) == expected
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k
+    assert 0.0 <= float(out["eval_success_rate"]) <= 1.0
+
+
+def test_plan_shapes_and_selection():
+    cfg = _cfg("planning", n_candidates=64)
+    state = create_train_state(cfg)
+    scene = random_scene(jax.random.PRNGKey(1))
+    condition = rasterize_scene(scene, size=cfg.image_size)
+    result = plan(cfg, state, scene, condition, jax.random.PRNGKey(2),
+                  n_candidates=64, n_diverse=4)
+    assert result.taus.shape == (64, cfg.horizon, cfg.state_dim)
+    assert result.scores.shape == (64,)
+    # Best really is the argmin.
+    assert float(result.best_score) == float(jnp.min(result.scores))
+    # Diverse set: unique indices from the better half.
+    idx = np.asarray(result.diverse_idx)
+    assert len(set(idx.tolist())) == 4
+
+
+def test_plan_unconditioned_mode():
+    cfg = _cfg("pointmass2d", n_candidates=32)
+    state = create_train_state(cfg)
+    scene = random_scene(jax.random.PRNGKey(3))
+    condition = jnp.zeros((0,), jnp.float32)
+    result = plan(cfg, state, scene, condition, jax.random.PRNGKey(4),
+                  n_candidates=32, n_diverse=4)
+    assert np.all(np.isfinite(np.asarray(result.scores)))
