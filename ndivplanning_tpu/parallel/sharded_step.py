@@ -1,0 +1,139 @@
+"""DP + diversity-sample-sharded training (SURVEY.md §2 L8, §5).
+
+Two cooperating mechanisms, per SURVEY.md §5's "psum inside shard_map (or
+equivalently jit with NamedSharding letting SPMD insert all-reduces)":
+
+1. :func:`make_sharded_train_step` — the production path.  The SAME
+   ``train_step_impl`` program as single-chip, jitted over the mesh with
+   sharding constraints: the sampled batch is sharded ``P('dp')`` on the
+   condition axis and the latent draws ``P('dp', 'div')`` on (batch, k).
+   XLA's SPMD partitioner lays out every matmul accordingly and inserts
+   the gradient all-reduces over ICI.  Because it is the identical
+   program, parity with the single-chip step is structural
+   (tests/test_parallel.py checks it numerically).
+
+2. :func:`ndiv_loss_sharded` — the explicit-collective NDiv for a
+   k-sharded tensor (SURVEY.md §7 hard-parts #5): each ``div`` shard owns
+   ``k_local`` samples, ``all_gather``s the full [k, d] blocks over the
+   axis (k=32 x traj-dim is KBs — negligible on ICI), computes ONLY its
+   own rows of the pairwise/hinge matrices, and ``psum``s the partial
+   sums.  This is the collective design the fused kernel rides in a
+   sharded-k deployment.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ndivplanning_tpu.data.tasks import make_task
+from ndivplanning_tpu.parallel.mesh import DIV_AXIS, DP_AXIS, make_mesh
+from ndivplanning_tpu.train.state import TrainState
+from ndivplanning_tpu.train.step import train_step_impl
+from ndivplanning_tpu.utils.config import Config
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate the train state across the mesh (params are KB-MB scale;
+    DP replication is the right layout — SURVEY.md §2: TP not built)."""
+    replicated = NamedSharding(mesh, P())
+    return jax.device_put(state, replicated)
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None):
+    """Build the jitted multi-chip train step for ``cfg``.
+
+    Returns (step_fn, mesh); ``step_fn(state) -> (state, metrics)`` with
+    state replicated, batch work sharded dp x div.
+    """
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    batch_sharding = NamedSharding(mesh, P(DP_AXIS))
+    z_sharding = NamedSharding(mesh, P(DP_AXIS, DIV_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState):
+        task = make_task(cfg)
+        rng, k_batch = jax.random.split(state.rng)
+        batch = task.sample(k_batch, cfg.batch_size)
+        # Shard every batch leaf on its leading (condition) axis.
+        batch = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, batch_sharding),
+            batch,
+        )
+        state = state.replace(rng=rng)
+        new_state, metrics = train_step_impl(cfg, state, batch,
+                                             z_sharding=z_sharding)
+        new_state = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, replicated),
+            new_state,
+        )
+        return new_state, metrics
+
+    return step, mesh
+
+
+def ndiv_loss_sharded(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
+                      mesh: Mesh) -> jnp.ndarray:
+    """NDiv loss with k sharded over the ``div`` axis and batch over ``dp``.
+
+    Semantics identical to ``ndiv_loss_reference`` on the unsharded
+    arrays (tests/test_parallel.py::test_sharded_ndiv_matches_reference).
+
+    Per-shard work: all_gather columns, compute local-row slice of both
+    distance matrices, row-normalise (full row available), hinge, psum.
+    """
+    b, k = z.shape[0], z.shape[1]
+    m = b * k * (k - 1)
+
+    def local(z_loc, x_loc):
+        # z_loc: [b_local, k_local, dz]; gather full k on our dp slice.
+        z_full = jax.lax.all_gather(z_loc, DIV_AXIS, axis=1, tiled=True)
+        x_full = jax.lax.all_gather(x_loc, DIV_AXIS, axis=1, tiled=True)
+
+        div_idx = jax.lax.axis_index(DIV_AXIS)
+        k_local = z_loc.shape[1]
+        row_offset = div_idx * k_local
+        rows_z = z_loc  # [bl, k_local, d] — the rows this shard owns
+        rows_x = x_loc
+
+        def row_block(rows, full):
+            # [bl, k_local, k] distances from local rows to all columns.
+            sq_r = jnp.sum(rows * rows, axis=-1)  # [bl, kl]
+            sq_c = jnp.sum(full * full, axis=-1)  # [bl, k]
+            gram = jnp.einsum("bld,bkd->blk", rows, full,
+                              precision=jax.lax.Precision.HIGHEST)
+            d2 = jnp.maximum(sq_r[..., :, None] + sq_c[..., None, :]
+                             - 2.0 * gram, 0.0)
+            # zero the self-distance entry (global col == global row)
+            cols = jnp.arange(k)[None, :]
+            local_rows = jnp.arange(k_local)[:, None] + row_offset
+            self_mask = cols == local_rows  # [kl, k]
+            d2 = jnp.where(self_mask[None], 0.0, d2)
+            pos = d2 > 0.0
+            d = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+            r = jnp.sum(d, axis=-1, keepdims=True)
+            r_pos = r > 0.0
+            n = jnp.where(r_pos, d / jnp.where(r_pos, r, 1.0), 0.0)
+            return n, self_mask
+
+        nz, self_mask = row_block(rows_z, z_full)
+        nx, _ = row_block(rows_x, x_full)
+        hinge = jnp.maximum(alpha * nz - nx, 0.0)
+        hinge = jnp.where(self_mask[None], 0.0, hinge)
+        partial = jnp.sum(hinge)
+        total = jax.lax.psum(partial, (DP_AXIS, DIV_AXIS))
+        return total / m
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, DIV_AXIS, None), P(DP_AXIS, DIV_AXIS, None)),
+        out_specs=P(),
+    )
+    return fn(z, x)

@@ -43,8 +43,14 @@ def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
     return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
 
 
-def train_step_impl(cfg: Config, state: TrainState, batch: Batch):
+def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
+                    z_sharding=None):
     """One G+D+NDiv update.  Pure; jit/shard_map-able.
+
+    ``z_sharding``: optional ``jax.sharding.Sharding`` constraining the
+    ``[B, k, zdim]`` latent draws — the diversity-sample-sharding hook
+    (k over the ``div`` mesh axis, SURVEY.md §2 parallelism table); the
+    generated trajectories inherit it through the generator.
 
     Returns (new_state, metrics) with metrics a dict of f32 scalars.
     """
@@ -55,6 +61,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch):
     rng, k_z = jax.random.split(state.rng)
     b = batch.real_traj.shape[0]
     z = jax.random.normal(k_z, (b, cfg.k, cfg.latent_dim), jnp.float32)
+    if z_sharding is not None:
+        z = jax.lax.with_sharding_constraint(z, z_sharding)
 
     # Fake batch for the D update (detached — SURVEY.md §3.1).
     tau_fake = gen.apply(state.g_params, batch.conditions, z)

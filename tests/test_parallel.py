@@ -1,0 +1,98 @@
+"""Distributed-logic tests on the virtual 8-CPU-device mesh (SURVEY §4:
+"DP on v5p-8 == single-chip run with same global batch (up to reduction
+order); diversity-sample sharding == unsharded")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
+from ndivplanning_tpu.parallel.mesh import make_mesh
+from ndivplanning_tpu.parallel.sharded_step import (
+    make_sharded_train_step,
+    ndiv_loss_sharded,
+    shard_state,
+)
+from ndivplanning_tpu.train.state import create_train_state
+from ndivplanning_tpu.train.step import train_step_fused
+from ndivplanning_tpu.utils.config import get_config
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _cfg(dp=1, div=1, **kw):
+    d = dict(batch_size=16, k=8, g_hidden=(32,), d_hidden=(32,),
+             cond_embed_dim=8, dp_shards=dp, div_shards=div)
+    d.update(kw)
+    return get_config("pod_dp", **d)
+
+
+@pytest.mark.parametrize("dp,div", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_ndiv_matches_reference(dp, div):
+    mesh = make_mesh(dp=dp, div=div)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(16, 8, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(16, 8, 64)).astype(np.float32))
+    want = float(ndiv_loss_reference(z, x, 0.8))
+    got = float(ndiv_loss_sharded(z, x, 0.8, mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("dp,div", [(4, 2), (8, 1)])
+def test_sharded_step_matches_single_device(dp, div):
+    cfg_multi = _cfg(dp=dp, div=div)
+    cfg_single = _cfg(dp=1, div=1)
+
+    # Single-device run.
+    s1 = create_train_state(cfg_single)
+    for _ in range(3):
+        s1, m1 = train_step_fused(cfg_single, s1)
+
+    # Sharded run: same config hash except mesh fields (the math uses
+    # only batch/k/model fields, so the programs are identical).
+    step_fn, mesh = make_sharded_train_step(cfg_multi)
+    s2 = shard_state(create_train_state(cfg_multi), mesh)
+    for _ in range(3):
+        s2, m2 = step_fn(s2)
+
+    # Parity up to reduction order (f32 tolerance).
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-3,
+                                   atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
+
+
+def test_sharded_step_is_self_deterministic():
+    cfg = _cfg(dp=4, div=2)
+    step_fn, mesh = make_sharded_train_step(cfg)
+
+    def curve():
+        s = shard_state(create_train_state(cfg), mesh)
+        out = []
+        for _ in range(3):
+            s, m = step_fn(s)
+            out.append(float(m["g_ndiv"]))
+        return out
+
+    np.testing.assert_array_equal(np.asarray(curve()), np.asarray(curve()))
+
+
+def test_pod_dp_preset_runs_shrunk():
+    # The BASELINE.json:11 topology (8-way) at test scale.
+    cfg = _cfg(dp=8, div=1, batch_size=32, k=4)
+    step_fn, mesh = make_sharded_train_step(cfg)
+    s = shard_state(create_train_state(cfg), mesh)
+    s, m = step_fn(s)
+    assert int(s.step) == 1
+    for name, v in m.items():
+        assert np.isfinite(float(v)), name
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(dp=64, div=2)
