@@ -1,0 +1,169 @@
+"""Benchmark harness — the BASELINE.json:2 contract metrics.
+
+Measures, on the live backend (real TPU chip under the driver):
+  1. full NDiv-GAN train step (G+D+NDiv) steps/sec — headline metric,
+  2. NDiv pairwise-loss eval pairs/sec (fused Pallas kernel),
+  3. rollout steps/sec (1k-candidate batched sim-in-the-loop scoring),
+each against the torch-CPU oracle (the stand-in for the reference's
+eager-CPU wall-clock; SURVEY.md §6 — the reference publishes no numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", details}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time_it(fn, n_iters: int, warmup: int = 2) -> float:
+    """Median-of-3 wall time per call (fn must block until done)."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            fn()
+        times.append((time.perf_counter() - t0) / n_iters)
+    return float(np.median(times))
+
+
+# --------------------------------------------------------------- workloads
+# The common measured workload is the goal-conditioned config
+# (BASELINE.json:8): batch 256, k 8, horizon 32, start/goal conditioning.
+BATCH, K, HORIZON, LATENT, COND = 256, 8, 32, 2, 4
+NDIV_B, NDIV_K, NDIV_DX = 256, 32, 64
+N_CAND, ROLL_H = 1000, 32
+
+
+def bench_torch_cpu():
+    """Reference-stand-in numbers on this host's CPU (eager torch)."""
+    import torch
+
+    from oracle.torch_oracle import TorchNDivGAN, ndiv_loss_torch
+
+    torch.manual_seed(0)
+    gan = TorchNDivGAN(cond_dim=COND, latent_dim=LATENT,
+                       traj_dim=HORIZON * 2, seed=0)
+    cond = torch.rand(BATCH, COND)
+    real = torch.rand(BATCH, HORIZON * 2)
+
+    t_step = _time_it(lambda: gan.train_step(cond, real, K), n_iters=3,
+                      warmup=1)
+
+    z = torch.randn(NDIV_B, NDIV_K, LATENT)
+    x = torch.randn(NDIV_B, NDIV_K, NDIV_DX)
+
+    def ndiv_fwd_bwd():
+        zz = z.clone().requires_grad_(True)
+        xx = x.clone().requires_grad_(True)
+        ndiv_loss_torch(zz, xx).backward()
+
+    t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=3, warmup=1)
+
+    # Rollout: per-candidate Python loop (the reference's §3.3 shape).
+    from oracle.torch_oracle import pointmass_step_py
+
+    taus = torch.rand(50, ROLL_H, 2)  # 50 candidates timed, scaled to 1k
+
+    def rollouts():
+        for i in range(taus.shape[0]):
+            pos = torch.tensor([0.1, 0.1])
+            vel = torch.zeros(2)
+            for t in range(ROLL_H):
+                a = 8.0 * (taus[i, t] - pos) - 2.0 * vel
+                pos, vel = pointmass_step_py(pos, vel, a)
+
+    t_roll_50 = _time_it(rollouts, n_iters=1, warmup=1)
+    return {
+        "train_step_s": t_step,
+        "ndiv_fwdbwd_s": t_ndiv,
+        "rollout_steps_per_s": (50 * ROLL_H) / t_roll_50,
+    }
+
+
+def bench_jax():
+    """TPU-native numbers on the live backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.ops.ndiv import ndiv_loss
+    from ndivplanning_tpu.envs.rollout import score_candidates
+    from ndivplanning_tpu.envs.types import EnvParams, Scene
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.train.step import train_step_fused
+    from ndivplanning_tpu.utils.config import get_config
+
+    backend = jax.default_backend()
+    cfg = get_config("goalcond", batch_size=BATCH, k=K)
+    state = create_train_state(cfg)
+
+    def step():
+        nonlocal state
+        state, m = train_step_fused(cfg, state)
+        jax.block_until_ready(m["g_ndiv"])
+
+    t_step = _time_it(step, n_iters=20, warmup=3)
+
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (NDIV_B, NDIV_K, LATENT))
+    x = jax.random.normal(key, (NDIV_B, NDIV_K, NDIV_DX))
+    grad_fn = jax.jit(jax.grad(lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
+
+    def ndiv_fwd_bwd():
+        jax.block_until_ready(grad_fn(z, x))
+
+    t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=20, warmup=3)
+
+    params = EnvParams.create()
+    scene = Scene.create([0.1, 0.1], [0.9, 0.9], [[0.5, 0.5, 0.1]])
+    taus = jax.random.uniform(key, (N_CAND, ROLL_H, 2))
+
+    def roll():
+        jax.block_until_ready(
+            score_candidates(params, scene, taus).score
+        )
+
+    t_roll = _time_it(roll, n_iters=20, warmup=3)
+    return {
+        "backend": backend,
+        "train_step_s": t_step,
+        "ndiv_fwdbwd_s": t_ndiv,
+        "rollout_steps_per_s": (N_CAND * ROLL_H) / t_roll,
+    }
+
+
+def main() -> None:
+    cpu = bench_torch_cpu()
+    tpu = bench_jax()
+
+    steps_per_sec = 1.0 / tpu["train_step_s"]
+    vs_train = cpu["train_step_s"] / tpu["train_step_s"]
+    pairs = NDIV_B * NDIV_K * NDIV_K
+    vs_ndiv = cpu["ndiv_fwdbwd_s"] / tpu["ndiv_fwdbwd_s"]
+    vs_roll = tpu["rollout_steps_per_s"] / cpu["rollout_steps_per_s"]
+
+    print(json.dumps({
+        "metric": "gan_train_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_train, 2),
+        "details": {
+            "backend": tpu["backend"],
+            "workload": f"goalcond b{BATCH} k{K} h{HORIZON} (G+D+NDiv)",
+            "torch_cpu_steps_per_sec": round(1.0 / cpu["train_step_s"], 3),
+            "ndiv_pairs_per_sec": round(pairs / tpu["ndiv_fwdbwd_s"], 1),
+            "ndiv_pairs_per_sec_cpu": round(pairs / cpu["ndiv_fwdbwd_s"], 1),
+            "ndiv_vs_baseline": round(vs_ndiv, 2),
+            "rollout_steps_per_sec": round(tpu["rollout_steps_per_s"], 1),
+            "rollout_steps_per_sec_cpu": round(cpu["rollout_steps_per_s"], 1),
+            "rollout_vs_baseline": round(vs_roll, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

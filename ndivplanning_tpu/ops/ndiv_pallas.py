@@ -99,7 +99,14 @@ def _fwd_kernel(z_ref, x_ref, out_ref, *, kp: int, k: int, alpha: float):
     _, _, nz = _masked_distances(z_ref[:], valid)
     _, _, nx = _masked_distances(x_ref[:], valid)
     hinge = jnp.maximum(alpha * nz - nx, 0.0)
-    out_ref[0, 0] = jnp.sum(hinge)
+
+    # Accumulate across the (sequential, hence deterministic) TPU grid
+    # into one SMEM scalar — no host-side partial reduction needed.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += jnp.sum(hinge)
 
 
 def _bwd_kernel(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int, k: int,
@@ -149,7 +156,7 @@ def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
     z2 = _pack(z, k, kp, batch, batch_pad)
     x2 = _pack(x, k, kp, batch, batch_pad)
 
-    partials = pl.pallas_call(
+    total = pl.pallas_call(
         functools.partial(_fwd_kernel, kp=kp, k=k, alpha=float(alpha)),
         grid=(grid,),
         in_specs=[
@@ -158,9 +165,9 @@ def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
             pl.BlockSpec((row_tile, dx_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * grid * row_tile * row_tile * (dz_dim + dx_dim),
             bytes_accessed=4 * grid * row_tile * (dz_dim + dx_dim),
@@ -168,7 +175,7 @@ def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
         ),
         interpret=_should_interpret(),
     )(z2, x2)
-    return jnp.sum(partials)
+    return total[0, 0]
 
 
 def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,

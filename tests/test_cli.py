@@ -1,0 +1,36 @@
+"""CLI smoke tests (C12)."""
+
+import json
+
+import pytest
+
+from ndivplanning_tpu.cli import main
+
+
+def test_train_and_eval_roundtrip(tmp_path, capsys):
+    rc = main([
+        "train", "--preset", "pointmass2d", "--steps", "6",
+        "--batch-size", "8", "--k", "4", "--workdir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["final_step"] == 6
+
+    rc = main(["eval", "--preset", "pointmass2d", "--batch-size", "8",
+               "--k", "4", "--workdir", str(tmp_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "eval_success_rate" in out
+
+
+def test_plan_command(tmp_path, capsys):
+    rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
+               "--k", "4", "--workdir", str(tmp_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_candidates"] == 1000
+
+
+def test_bad_preset_raises():
+    with pytest.raises(ValueError):
+        main(["train", "--preset", "bogus"])
