@@ -24,6 +24,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gan-loss", default=None, choices=["bce", "lsgan", "hinge"])
     p.add_argument("--dp-shards", type=int, default=None)
     p.add_argument("--div-shards", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (numerics sanitizer)")
 
 
 def _build_config(args):
@@ -51,10 +55,21 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     cfg = _build_config(args)
 
+    if args.debug_nans:
+        from ndivplanning_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
+
     if args.cmd == "train":
         from ndivplanning_tpu.train.loop import train
 
-        state, history = train(cfg)
+        if args.profile_dir:
+            from ndivplanning_tpu.utils.profiling import trace
+
+            with trace(args.profile_dir):
+                state, history = train(cfg)
+        else:
+            state, history = train(cfg)
         print(json.dumps({"final_step": int(state.step),
                           "last": history[-1] if history else None}))
         return 0

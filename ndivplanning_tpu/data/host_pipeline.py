@@ -1,0 +1,86 @@
+"""Host-side data pipeline for external datasets (SURVEY.md §2 C9, L6).
+
+The synthetic tasks run fully on-device; this module is the complementary
+path for *recorded* datasets (e.g. expert trajectories dumped to ``.npz``)
+— the rebuild of the reference's host dataset loading, TPU-style:
+shuffled epoch sampling on the host, with an async prefetch iterator that
+keeps the next batch's H2D copy in flight while the current step runs.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import queue
+from typing import Iterator, Mapping
+
+import jax
+import numpy as np
+
+
+class ArrayDataset:
+    """In-memory dataset of aligned arrays (conditions, trajectories, ...).
+
+    All arrays share the leading example axis.  ``from_npz`` loads a file
+    saved via ``np.savez(path, conditions=..., real_traj=...)``.
+    """
+
+    def __init__(self, arrays: Mapping[str, np.ndarray]):
+        if not arrays:
+            raise ValueError("empty dataset")
+        sizes = {k: len(v) for k, v in arrays.items()}
+        if len(set(sizes.values())) != 1:
+            raise ValueError(f"misaligned leading axes: {sizes}")
+        self.arrays = {k: np.asarray(v) for k, v in arrays.items()}
+        self.size = next(iter(sizes.values()))
+
+    @classmethod
+    def from_npz(cls, path: str) -> "ArrayDataset":
+        with np.load(path) as f:
+            return cls({k: f[k] for k in f.files})
+
+    def batches(self, batch_size: int, *, seed: int = 0,
+                drop_remainder: bool = True) -> Iterator[dict]:
+        """One shuffled epoch of host batches (deterministic in seed)."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(self.size)
+        stop = (self.size // batch_size) * batch_size if drop_remainder \
+            else self.size
+        for i in range(0, stop, batch_size):
+            idx = order[i:i + batch_size]
+            yield {k: v[idx] for k, v in self.arrays.items()}
+
+
+def prefetch_to_device(iterator: Iterator[dict], buffer_size: int = 2,
+                       device=None) -> Iterator[dict]:
+    """Async H2D prefetch: a daemon thread stages ``buffer_size`` batches
+    onto the device ahead of the consumer (double buffering by default),
+    overlapping host batch prep + transfer with device compute."""
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put({k: jax.device_put(v, device) for k, v in batch.items()})
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def epochs(dataset: ArrayDataset, batch_size: int, num_epochs: int,
+           *, seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
+    """Multi-epoch prefetched stream; epoch e reshuffles with seed+e."""
+
+    def host_stream():
+        for e in range(num_epochs):
+            yield from dataset.batches(batch_size, seed=seed + e)
+
+    yield from prefetch_to_device(host_stream(), buffer_size=prefetch)

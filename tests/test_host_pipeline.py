@@ -1,0 +1,84 @@
+"""Host data pipeline tests (C9 host path)."""
+
+import numpy as np
+import pytest
+
+from ndivplanning_tpu.data.host_pipeline import (
+    ArrayDataset,
+    epochs,
+    prefetch_to_device,
+)
+
+
+def _dataset(n=32):
+    rng = np.random.default_rng(0)
+    return ArrayDataset({
+        "conditions": rng.normal(size=(n, 4)).astype(np.float32),
+        "real_traj": rng.normal(size=(n, 32, 2)).astype(np.float32),
+    })
+
+
+def test_epoch_covers_all_examples_once():
+    ds = _dataset(32)
+    seen = []
+    for batch in ds.batches(8, seed=1):
+        assert batch["conditions"].shape == (8, 4)
+        seen.append(batch["conditions"])
+    stacked = np.concatenate(seen)
+    assert stacked.shape[0] == 32
+    # Every original row appears exactly once (shuffled epoch).
+    orig = np.sort(ds.arrays["conditions"][:, 0])
+    got = np.sort(stacked[:, 0])
+    np.testing.assert_array_equal(orig, got)
+
+
+def test_shuffle_deterministic_in_seed():
+    ds = _dataset()
+    a = [b["conditions"] for b in ds.batches(8, seed=5)]
+    b = [b["conditions"] for b in ds.batches(8, seed=5)]
+    c = [b["conditions"] for b in ds.batches(8, seed=6)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    assert not np.array_equal(np.concatenate(a), np.concatenate(c))
+
+
+def test_drop_remainder():
+    ds = _dataset(30)
+    batches = list(ds.batches(8))
+    assert len(batches) == 3
+    batches = list(ds.batches(8, drop_remainder=False))
+    assert sum(b["conditions"].shape[0] for b in batches) == 30
+
+
+def test_prefetch_to_device_yields_device_arrays():
+    import jax
+
+    ds = _dataset(16)
+    out = list(prefetch_to_device(ds.batches(8)))
+    assert len(out) == 2
+    assert isinstance(out[0]["real_traj"], jax.Array)
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate([np.asarray(b["conditions"]) for b in out],
+                               axis=0)[:, 0]),
+        np.sort(ds.arrays["conditions"][:, 0]))
+
+
+def test_multi_epoch_stream():
+    ds = _dataset(16)
+    out = list(epochs(ds, batch_size=8, num_epochs=3))
+    assert len(out) == 6
+
+
+def test_npz_roundtrip(tmp_path):
+    ds = _dataset(8)
+    path = tmp_path / "data.npz"
+    np.savez(path, **ds.arrays)
+    loaded = ArrayDataset.from_npz(str(path))
+    np.testing.assert_array_equal(loaded.arrays["real_traj"],
+                                  ds.arrays["real_traj"])
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        ArrayDataset({})
+    with pytest.raises(ValueError):
+        ArrayDataset({"a": np.zeros((3, 2)), "b": np.zeros((4, 2))})
