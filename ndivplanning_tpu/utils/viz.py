@@ -1,0 +1,80 @@
+"""Trajectory / scene visualisation (research-repo convenience, L9).
+
+Matplotlib is imported lazily (Agg backend) so the hot path never pays
+for it.  The canonical use is inspecting diversity: plot the k generated
+candidates for one condition over the scene.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_scene(ax, scene) -> None:
+    """Draw bounds, obstacles, start (o) and goal (*) for one Scene."""
+    obstacles = np.asarray(scene.obstacles)
+    mask = np.asarray(scene.obstacle_mask)
+    from matplotlib.patches import Circle
+
+    for row, live in zip(obstacles, mask):
+        if live > 0.5:
+            ax.add_patch(Circle((row[0], row[1]), row[2], color="0.7"))
+    start, goal = np.asarray(scene.start), np.asarray(scene.goal)
+    ax.plot(*start, "go", markersize=9, label="start")
+    ax.plot(*goal, "r*", markersize=13, label="goal")
+    ax.set_xlim(-0.02, 1.02)
+    ax.set_ylim(-0.02, 1.02)
+    ax.set_aspect("equal")
+
+
+def plot_trajectories(scene, taus, scores=None, path: str | None = None,
+                      title: str = ""):
+    """Plot candidate trajectories ``taus: [N, H, 2]`` over a scene.
+
+    If ``scores`` is given, colors run best (dark) to worst (light).
+    Returns the figure; saves to ``path`` if given.
+    """
+    plt = _mpl()
+    taus = np.asarray(taus)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    plot_scene(ax, scene)
+    n = taus.shape[0]
+    if scores is not None:
+        order = np.argsort(np.asarray(scores))
+        colors = plt.cm.viridis(np.linspace(0, 0.9, n))
+        for rank, i in enumerate(order[::-1]):  # worst first, best on top
+            ax.plot(taus[i, :, 0], taus[i, :, 1], "-",
+                    color=colors[n - 1 - rank], lw=1, alpha=0.8)
+    else:
+        for i in range(n):
+            ax.plot(taus[i, :, 0], taus[i, :, 1], "-", lw=1, alpha=0.7)
+    ax.set_title(title)
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_loss_curves(history, path: str | None = None):
+    """history: list of dict rows with 'step' and loss scalars."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    steps = [h["step"] for h in history]
+    for key in ("d_loss", "g_adv", "g_ndiv"):
+        if history and key in history[0]:
+            ax.plot(steps, [h[key] for h in history], label=key)
+    ax.set_xlabel("step")
+    ax.legend()
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
