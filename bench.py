@@ -19,7 +19,13 @@ import numpy as np
 
 
 def _time_it(fn, n_iters: int, warmup: int = 2) -> float:
-    """Median-of-3 wall time per call (fn must block until done)."""
+    """Median-of-3 wall time per call.
+
+    ``fn`` MUST end with a host transfer (``np.asarray`` of some output
+    element) — on this TPU tunnel, ``jax.block_until_ready`` returns
+    before remote execution completes, so only a device_get is an honest
+    synchronisation point.
+    """
     for _ in range(warmup):
         fn()
     times = []
@@ -37,6 +43,14 @@ def _time_it(fn, n_iters: int, warmup: int = 2) -> float:
 BATCH, K, HORIZON, LATENT, COND = 256, 8, 32, 2, 4
 NDIV_B, NDIV_K, NDIV_DX = 256, 32, 64
 N_CAND, ROLL_H = 1000, 32
+# Device-side amplification for sustained-throughput measurement: the dev
+# tunnel has ~35 ms fixed dispatch+fetch overhead per call, so the TPU
+# runs AMP independent instances of the CPU workload per dispatch (the
+# batch axis folds them in natively) and syncs once.  CPU throughput is
+# flat in batch, so per-pair/per-step rates stay comparable.
+NDIV_AMP = 64  # TPU NDiv batch = NDIV_B * NDIV_AMP
+ROLL_AMP = 16  # TPU candidates = N_CAND * ROLL_AMP
+CHUNK = 2000  # train steps per dispatch
 
 
 def bench_torch_cpu():
@@ -94,40 +108,43 @@ def bench_jax():
     from ndivplanning_tpu.envs.rollout import score_candidates
     from ndivplanning_tpu.envs.types import EnvParams, Scene
     from ndivplanning_tpu.train.state import create_train_state
-    from ndivplanning_tpu.train.step import train_step_fused
     from ndivplanning_tpu.utils.config import get_config
 
     backend = jax.default_backend()
     cfg = get_config("goalcond", batch_size=BATCH, k=K)
     state = create_train_state(cfg)
 
-    def step():
-        nonlocal state
-        state, m = train_step_fused(cfg, state)
-        jax.block_until_ready(m["g_ndiv"])
+    # Chunked stepping (train_chunk): N steps per dispatch, the production
+    # path of train/loop.py.
+    from ndivplanning_tpu.train.step import train_chunk
 
-    t_step = _time_it(step, n_iters=20, warmup=3)
+    def step_chunk():
+        nonlocal state
+        state, m = train_chunk(cfg, state, CHUNK)
+        np.asarray(m["g_ndiv"][-1])  # honest sync: device_get
+
+    t_step = _time_it(step_chunk, n_iters=1, warmup=2) / CHUNK
 
     key = jax.random.PRNGKey(0)
-    z = jax.random.normal(key, (NDIV_B, NDIV_K, LATENT))
-    x = jax.random.normal(key, (NDIV_B, NDIV_K, NDIV_DX))
+    z = jax.random.normal(key, (NDIV_B * NDIV_AMP, NDIV_K, LATENT))
+    x = jax.random.normal(key, (NDIV_B * NDIV_AMP, NDIV_K, NDIV_DX))
     grad_fn = jax.jit(jax.grad(lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
 
     def ndiv_fwd_bwd():
-        jax.block_until_ready(grad_fn(z, x))
+        gz, gx = grad_fn(z, x)
+        np.asarray(gx[0, 0, 0])  # honest sync
 
-    t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=20, warmup=3)
+    t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=2, warmup=2) / NDIV_AMP
 
     params = EnvParams.create()
     scene = Scene.create([0.1, 0.1], [0.9, 0.9], [[0.5, 0.5, 0.1]])
-    taus = jax.random.uniform(key, (N_CAND, ROLL_H, 2))
+    taus = jax.random.uniform(key, (N_CAND * ROLL_AMP, ROLL_H, 2))
 
     def roll():
-        jax.block_until_ready(
-            score_candidates(params, scene, taus).score
-        )
+        scores = score_candidates(params, scene, taus).score
+        np.asarray(scores[0])  # honest sync
 
-    t_roll = _time_it(roll, n_iters=20, warmup=3)
+    t_roll = _time_it(roll, n_iters=2, warmup=2) / ROLL_AMP
     return {
         "backend": backend,
         "train_step_s": t_step,

@@ -44,11 +44,15 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, replicated)
 
 
-def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None):
+def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None,
+                            chunk: int = 1):
     """Build the jitted multi-chip train step for ``cfg``.
 
     Returns (step_fn, mesh); ``step_fn(state) -> (state, metrics)`` with
-    state replicated, batch work sharded dp x div.
+    state replicated, batch work sharded dp x div.  ``chunk > 1`` scans
+    that many steps inside one compiled program (metrics stacked
+    ``[chunk]``) — the same dispatch-latency amortisation as
+    ``train_chunk``, with the collectives staying inside the scan body.
     """
     if mesh is None:
         mesh = make_mesh(cfg=cfg)
@@ -56,8 +60,7 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None):
     z_sharding = NamedSharding(mesh, P(DP_AXIS, DIV_AXIS))
     replicated = NamedSharding(mesh, P())
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState):
+    def body(state: TrainState, _=None):
         task = make_task(cfg)
         rng, k_batch = jax.random.split(state.rng)
         batch = task.sample(k_batch, cfg.batch_size)
@@ -74,6 +77,11 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None):
             new_state,
         )
         return new_state, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState):
+        # Always scan (even length 1) so metrics are uniformly [chunk].
+        return jax.lax.scan(body, state, None, length=chunk)
 
     return step, mesh
 

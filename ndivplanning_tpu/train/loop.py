@@ -16,7 +16,7 @@ import numpy as np
 
 from ndivplanning_tpu.train.evaluate import evaluate
 from ndivplanning_tpu.train.state import TrainState, create_train_state
-from ndivplanning_tpu.train.step import train_step_fused
+from ndivplanning_tpu.train.step import train_chunk, train_step_fused
 from ndivplanning_tpu.utils import checkpoint as ckpt
 from ndivplanning_tpu.utils.config import Config
 from ndivplanning_tpu.utils.metrics import MetricsWriter
@@ -40,37 +40,61 @@ def train(cfg: Config, num_steps: Optional[int] = None,
             state = restored
 
     # Multi-device configs route through the sharded step (parallel/).
-    if cfg.dp_shards * cfg.div_shards > 1:
+    sharded = cfg.dp_shards * cfg.div_shards > 1
+    sharded_steps = {}
+    if sharded:
         from ndivplanning_tpu.parallel.sharded_step import (
             make_sharded_train_step,
             shard_state,
         )
 
-        step_fn, mesh = make_sharded_train_step(cfg)
+        mesh = None
+
+        def sharded_chunk(state, n):
+            nonlocal mesh
+            if n not in sharded_steps:
+                fn, mesh = make_sharded_train_step(cfg, mesh, chunk=n)
+                sharded_steps[n] = fn
+            return sharded_steps[n](state)
+
+        _, mesh = make_sharded_train_step(cfg)  # build mesh eagerly
         state = shard_state(state, mesh)
-    else:
-        step_fn = lambda s: train_step_fused(cfg, s)
 
     writer = MetricsWriter(workdir, echo=echo)
     history: list[dict] = []
     t_last = time.monotonic()
-    start_step = int(state.step)
 
-    for i in range(start_step, num_steps):
-        state, metrics = step_fn(state)
-        step = i + 1
-        if step % cfg.log_every == 0 or step == num_steps:
+    def next_boundary(s: int) -> int:
+        """First step > s where the host must look at the run."""
+        cands = [num_steps]
+        for every in (cfg.log_every, cfg.checkpoint_every, cfg.eval_every):
+            if every:
+                cands.append((s // every + 1) * every)
+        return min(c for c in cands if c > s)
+
+    step = int(state.step)
+    while step < num_steps:
+        target = next_boundary(step)
+        chunk = target - step
+        # Chunked lax.scan execution amortises per-step dispatch latency.
+        # With default config the boundaries align so only ONE chunk size
+        # (log_every) compiles — compiles are expensive on TPU.
+        if sharded:
+            state, metrics = sharded_chunk(state, chunk)
+        else:
+            state, metrics = train_chunk(cfg, state, chunk)
+        last = {k: float(v[-1]) for k, v in metrics.items()}
+        step = target
+
+        if cfg.log_every and (step % cfg.log_every == 0 or step == num_steps):
             now = time.monotonic()
-            scalars = {k: float(v) for k, v in metrics.items()}
-            window = cfg.log_every if step % cfg.log_every == 0 else (
-                step - start_step) % cfg.log_every or cfg.log_every
-            scalars["steps_per_sec"] = window / max(now - t_last, 1e-9)
+            last["steps_per_sec"] = chunk / max(now - t_last, 1e-9)
             t_last = now
-            writer.write(step, scalars)
-            history.append({"step": step, **scalars})
+            writer.write(step, last)
+            history.append({"step": step, **last})
         if workdir and cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
             ckpt.save_checkpoint(workdir, state)
-        if cfg.eval_every and step % cfg.eval_every == 0:
+        if cfg.eval_every and step % cfg.eval_every == 0 and step < num_steps:
             eval_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), step)
             ev = {k: float(v) for k, v in
                   evaluate(cfg, state, eval_key).items()}

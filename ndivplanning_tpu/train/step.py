@@ -117,12 +117,41 @@ def train_step(cfg: Config, state: TrainState, batch: Batch):
     return train_step_impl(cfg, state, batch)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def train_step_fused(cfg: Config, state: TrainState):
-    """Train step with the on-device task sampler fused in: the whole
-    sample -> G/D update pipeline is one compiled program, zero host I/O."""
+def _fused_body(cfg: Config, state: TrainState):
+    """Sample-on-device + one update: the scan body shared by the single
+    fused step and the chunked multi-step program."""
     task = make_task(cfg)
     rng, k_batch = jax.random.split(state.rng)
     batch = task.sample(k_batch, cfg.batch_size)
     state = state.replace(rng=rng)
     return train_step_impl(cfg, state, batch)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def train_step_fused(cfg: Config, state: TrainState):
+    """Train step with the on-device task sampler fused in: the whole
+    sample -> G/D update pipeline is one compiled program, zero host I/O."""
+    return _fused_body(cfg, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                   donate_argnums=(1,))
+def train_chunk(cfg: Config, state: TrainState, n_steps: int):
+    """``n_steps`` fused train steps in ONE compiled program via
+    ``lax.scan`` — the dispatch-latency killer for small per-step work
+    (the reference's models are KB-MB scale, so a single step is far
+    cheaper than a host->device dispatch; scanning amortises it to zero).
+
+    Numerically equivalent to ``n_steps`` sequential
+    :func:`train_step_fused` calls, and bitwise self-consistent
+    run-to-run; cross-program parity with the unscanned step is at float
+    tolerance only, since XLA may reassociate fusions differently in the
+    two programs (the per-fixed-topology caveat of SURVEY.md §7
+    hard-parts #1).  Returns (state, metrics), metrics stacked [n_steps].
+    """
+
+    def body(s, _):
+        s, metrics = _fused_body(cfg, s)
+        return s, metrics
+
+    return jax.lax.scan(body, state, None, length=n_steps)

@@ -60,7 +60,7 @@ def test_sharded_step_matches_single_device(dp, div):
 
     # Parity up to reduction order (f32 tolerance).
     for k in m1:
-        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-3,
+        np.testing.assert_allclose(float(m1[k]), float(m2[k][-1]), rtol=1e-3,
                                    atol=1e-5, err_msg=k)
     for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
@@ -76,7 +76,7 @@ def test_sharded_step_is_self_deterministic():
         out = []
         for _ in range(3):
             s, m = step_fn(s)
-            out.append(float(m["g_ndiv"]))
+            out.append(float(m["g_ndiv"][-1]))
         return out
 
     np.testing.assert_array_equal(np.asarray(curve()), np.asarray(curve()))
@@ -90,7 +90,7 @@ def test_pod_dp_preset_runs_shrunk():
     s, m = step_fn(s)
     assert int(s.step) == 1
     for name, v in m.items():
-        assert np.isfinite(float(v)), name
+        assert np.all(np.isfinite(np.asarray(v))), name
 
 
 def test_mesh_validation():
