@@ -49,7 +49,7 @@ def _build_config(args):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "eval", "plan"):
+    for name in ("train", "eval", "plan", "serve"):
         p = sub.add_parser(name)
         _add_common(p)
     args = parser.parse_args(argv)
@@ -113,6 +113,19 @@ def main(argv=None) -> int:
             "best_reached": float(result.best_reached),
             "n_candidates": int(result.scores.shape[0]),
         }))
+        return 0
+
+    if args.cmd == "serve":
+        from ndivplanning_tpu.planning.server import serve
+        from ndivplanning_tpu.train.state import create_train_state
+        from ndivplanning_tpu.utils import checkpoint as ckpt
+
+        state = create_train_state(cfg)
+        restored = ckpt.restore_latest(cfg.workdir, state)
+        if restored is not None:
+            state = restored
+        served = serve(cfg, state)
+        print(json.dumps({"served": served}))
         return 0
 
     return 1
