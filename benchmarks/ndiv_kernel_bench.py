@@ -34,31 +34,45 @@ def measure(fn, amp: int) -> float:
 
 
 def main():
+    import jax.numpy as jnp
+
     from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
     from ndivplanning_tpu.ops.ndiv_pallas import ndiv_loss_fused
 
-    shapes = [  # (B, k, dz, dx, amp)
-        (256, 8, 2, 64, 64),  # goalcond-like
-        (256, 32, 2, 64, 32),  # pod_dp-like
+    REPS = 200  # scan-on-device repetitions per dispatch (pure compute)
+    shapes = [  # (B, k, dz, dx)
+        (256, 8, 2, 64),  # goalcond-like
+        (256, 32, 2, 64),  # pod_dp-like
     ]
     results = []
-    for b, k, dz, dx, amp in shapes:
+    for b, k, dz, dx in shapes:
         key = jax.random.PRNGKey(0)
-        z = jax.random.normal(key, (b * amp, k, dz))
-        x = jax.random.normal(key, (b * amp, k, dx))
-        row = {"B": b, "k": k, "dz": dz, "dx": dx,
+        z = jax.random.normal(key, (b, k, dz))
+        x = jax.random.normal(key, (b, k, dx))
+        row = {"B": b, "k": k, "dz": dz, "dx": dx, "reps": REPS,
                "backend": jax.default_backend()}
         for name, impl in [("pallas", ndiv_loss_fused),
                            ("jnp", ndiv_loss_reference)]:
-            fwd = jax.jit(lambda zz, xx, i=impl: i(zz, xx, 0.8))
-            gfn = jax.jit(jax.grad(lambda zz, xx, i=impl: i(zz, xx, 0.8),
-                                   argnums=(0, 1)))
-            t_f = measure(lambda: np.asarray(fwd(z, x)), amp)
-            t_g = measure(lambda: np.asarray(gfn(z, x)[1][0, 0, 0]), amp)
+            # lax.scan the grad computation REPS times with per-iteration
+            # perturbed inputs (defeats CSE), accumulate grad sums; one
+            # dispatch + one fetch measures pure sustained compute.
+            def gsum(zz, xx, i=impl):
+                g = jax.grad(lambda a, bb: i(a, bb, 0.8), argnums=(0, 1))
+
+                def body(c, r):
+                    gz, gx = g(zz + r * 1e-12, xx)
+                    return c + gx[0, 0, 0] + gz[0, 0, 0], None
+
+                init = jnp.float32(0.0)
+                out, _ = jax.lax.scan(
+                    body, init, jnp.arange(REPS, dtype=jnp.float32))
+                return out
+
+            fn = jax.jit(gsum)
+            t = measure(lambda: np.asarray(fn(z, x)), REPS)
             pairs = b * k * k
-            row[f"{name}_fwd_us"] = round(t_f * 1e6, 2)
-            row[f"{name}_fwdbwd_us"] = round(t_g * 1e6, 2)
-            row[f"{name}_pairs_per_sec"] = round(pairs / t_g, 1)
+            row[f"{name}_fwdbwd_us"] = round(t * 1e6, 2)
+            row[f"{name}_pairs_per_sec"] = round(pairs / t, 1)
         row["speedup_fwdbwd"] = round(
             row["jnp_fwdbwd_us"] / row["pallas_fwdbwd_us"], 2)
         results.append(row)

@@ -1,5 +1,5 @@
 """Sim-in-the-loop planning (SURVEY.md §3.3, L5)."""
 
-from ndivplanning_tpu.planning.planner import PlanResult, plan
+from ndivplanning_tpu.planning.planner import PlanResult, plan, plan_batch
 
-__all__ = ["PlanResult", "plan"]
+__all__ = ["PlanResult", "plan", "plan_batch"]

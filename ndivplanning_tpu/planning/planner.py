@@ -58,19 +58,9 @@ def _diverse_top_m(flat: jnp.ndarray, scores: jnp.ndarray, m: int):
     return pool[sel]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_candidates", "n_diverse", "weights")
-)
-def plan(cfg: Config, state: TrainState, scene: Scene, condition: jnp.ndarray,
-         key: jax.Array, n_candidates: int | None = None, n_diverse: int = 8,
-         weights: ScoreWeights = ScoreWeights()) -> PlanResult:
-    """One planning step for a single scene.
-
-    Args:
-      condition: raw condition input for this scene, WITHOUT batch dim
-        (``[0]``, ``[4]`` or ``[S, S, 3]`` per the conditioning mode).
-    """
-    n = cfg.n_candidates if n_candidates is None else n_candidates
+def _plan_impl(cfg: Config, state: TrainState, scene: Scene,
+               condition: jnp.ndarray, key: jax.Array, n: int,
+               n_diverse: int, weights: ScoreWeights) -> PlanResult:
     gen, _ = build_models(cfg)
     z = jax.random.normal(key, (1, n, cfg.latent_dim))
     taus = gen.apply(state.g_params, condition[None], z)[0]  # [N, H, S]
@@ -91,3 +81,46 @@ def plan(cfg: Config, state: TrainState, scene: Scene, condition: jnp.ndarray,
         scores=results.score,
         taus=taus,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_candidates", "n_diverse", "weights")
+)
+def plan(cfg: Config, state: TrainState, scene: Scene, condition: jnp.ndarray,
+         key: jax.Array, n_candidates: int | None = None, n_diverse: int = 8,
+         weights: ScoreWeights = ScoreWeights()) -> PlanResult:
+    """One planning step for a single scene.
+
+    Args:
+      condition: raw condition input for this scene, WITHOUT batch dim
+        (``[0]``, ``[4]`` or ``[S, S, 3]`` per the conditioning mode).
+    """
+    n = cfg.n_candidates if n_candidates is None else n_candidates
+    return _plan_impl(cfg, state, scene, condition, key, n, n_diverse,
+                      weights)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_candidates", "n_diverse", "weights")
+)
+def plan_batch(cfg: Config, state: TrainState, scenes: Scene,
+               conditions: jnp.ndarray, keys: jax.Array,
+               n_candidates: int | None = None, n_diverse: int = 8,
+               weights: ScoreWeights = ScoreWeights()) -> PlanResult:
+    """Plan for a batch of scenes in one program (``vmap`` over scenes on
+    top of the per-scene candidate ``vmap``).
+
+    The serving-throughput / eval-suite path; under a mesh, jit shards
+    the scene axis over ``dp`` like any other batch axis (the sharded
+    planning story for the pod config — parallel/ tests cover it).
+
+    Args:
+      scenes: Scene pytree with leading ``[B]`` axis.
+      conditions: ``[B, ...]`` raw conditions.
+      keys: ``[B]`` PRNG keys (one per scene).
+    """
+    n = cfg.n_candidates if n_candidates is None else n_candidates
+    return jax.vmap(
+        lambda sc, co, k: _plan_impl(cfg, state, sc, co, k, n, n_diverse,
+                                     weights)
+    )(scenes, conditions, keys)

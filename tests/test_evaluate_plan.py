@@ -46,6 +46,27 @@ def test_plan_shapes_and_selection():
     assert len(set(idx.tolist())) == 4
 
 
+def test_plan_batch_matches_individual():
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.data.scenes import random_scene_batch, rasterize_batch
+    from ndivplanning_tpu.planning.planner import plan_batch
+
+    cfg = _cfg("planning", n_candidates=16)
+    state = create_train_state(cfg)
+    scenes = random_scene_batch(jax.random.PRNGKey(0), 4)
+    conditions = rasterize_batch(scenes, size=cfg.image_size)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    batch = plan_batch(cfg, state, scenes, conditions, keys,
+                       n_candidates=16, n_diverse=4)
+    assert batch.best_traj.shape == (4, cfg.horizon, cfg.state_dim)
+    # Element 2 equals an individual plan with the same key.
+    one = plan(cfg, state, jax.tree.map(lambda a: a[2], scenes),
+               conditions[2], keys[2], n_candidates=16, n_diverse=4)
+    np.testing.assert_allclose(float(batch.best_score[2]),
+                               float(one.best_score), rtol=1e-5)
+
+
 def test_plan_unconditioned_mode():
     cfg = _cfg("pointmass2d", n_candidates=32)
     state = create_train_state(cfg)
