@@ -29,6 +29,7 @@ class ConditionEncoder(nn.Module):
     mode: str
     embed_dim: int = 64
     hidden: Sequence[int] = (64,)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, conditions: jnp.ndarray) -> jnp.ndarray:
@@ -36,12 +37,13 @@ class ConditionEncoder(nn.Module):
             b = conditions.shape[0]
             return jnp.zeros((b, 0), conditions.dtype)
         if self.mode == "startgoal":
-            x = conditions
+            x = conditions.astype(self.dtype)
             for h in self.hidden:
-                x = nn.relu(nn.Dense(h)(x))
-            return nn.Dense(self.embed_dim)(x)
+                x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
+            return nn.Dense(self.embed_dim, dtype=self.dtype)(x)
         if self.mode == "image":
-            return SceneEncoderCNN(embed_dim=self.embed_dim)(conditions)
+            return SceneEncoderCNN(embed_dim=self.embed_dim,
+                                   dtype=self.dtype)(conditions)
         raise ValueError(f"unknown conditioning mode {self.mode!r}")
 
 

@@ -19,12 +19,14 @@ class SceneEncoderCNN(nn.Module):
 
     embed_dim: int = 64
     features: Sequence[int] = (16, 32, 64)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
-        x = image
+        x = image.astype(self.dtype)
         for f in self.features:
-            x = nn.Conv(f, kernel_size=(3, 3), strides=(2, 2))(x)
+            x = nn.Conv(f, kernel_size=(3, 3), strides=(2, 2),
+                        dtype=self.dtype)(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.embed_dim)(x)
+        return nn.Dense(self.embed_dim, dtype=self.dtype)(x)

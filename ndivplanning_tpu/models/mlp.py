@@ -16,14 +16,20 @@ import jax.numpy as jnp
 
 
 class MLPTrunk(nn.Module):
-    """Dense-ReLU trunk shared by G and D."""
+    """Dense-ReLU trunk shared by G and D.
+
+    ``dtype`` is the computation dtype (params stay f32): bf16 rides the
+    MXU natively for the pod-scale configs.
+    """
 
     hidden: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         for h in self.hidden:
-            x = nn.relu(nn.Dense(h)(x))
+            x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
         return x
 
 
@@ -45,6 +51,7 @@ class Generator(nn.Module):
     state_dim: int = 2
     hidden: Sequence[int] = (256, 256)
     output: str = "linear"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cond_embed: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -56,8 +63,9 @@ class Generator(nn.Module):
         else:
             x = z
         x = x.reshape(b * k, -1)  # flatten k into batch: one big MXU matmul
-        x = MLPTrunk(self.hidden)(x)
-        x = nn.Dense(self.horizon * self.state_dim)(x)
+        x = MLPTrunk(self.hidden, dtype=self.dtype)(x)
+        x = nn.Dense(self.horizon * self.state_dim, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)  # downstream NDiv/env math stays f32
         if self.output == "sigmoid":
             x = nn.sigmoid(x)
         elif self.output != "linear":
@@ -74,6 +82,7 @@ class Discriminator(nn.Module):
     """
 
     hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cond_embed: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
@@ -96,6 +105,6 @@ class Discriminator(nn.Module):
             else:
                 x = flat
             lead = (b,)
-        x = MLPTrunk(self.hidden)(x)
-        logit = nn.Dense(1)(x)
-        return logit.reshape(*lead)
+        x = MLPTrunk(self.hidden, dtype=self.dtype)(x)
+        logit = nn.Dense(1, dtype=self.dtype)(x)
+        return logit.astype(jnp.float32).reshape(*lead)

@@ -21,6 +21,18 @@ from ndivplanning_tpu.models.conditioning import (
 from ndivplanning_tpu.models.mlp import Discriminator, Generator
 from ndivplanning_tpu.utils.config import Config
 
+_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+
+
+def _compute_dtype(cfg: Config):
+    try:
+        return _DTYPES[cfg.compute_dtype]
+    except KeyError:
+        raise ValueError(
+            f"unknown compute_dtype {cfg.compute_dtype!r}; "
+            f"choose from {sorted(_DTYPES)}"
+        ) from None
+
 
 class ConditionedGenerator(nn.Module):
     """G = own condition encoder + MLP trunk + trajectory head (C1+C3).
@@ -33,14 +45,17 @@ class ConditionedGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, conditions: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        dtype = _compute_dtype(self.cfg)
         cond_embed = ConditionEncoder(
-            mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim
+            mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim,
+            dtype=dtype,
         )(conditions)
         return Generator(
             horizon=self.cfg.horizon,
             state_dim=self.cfg.state_dim,
             hidden=self.cfg.g_hidden,
             output=self.cfg.generator_output,
+            dtype=dtype,
         )(cond_embed, z)
 
 
@@ -51,10 +66,13 @@ class ConditionedDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, conditions: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+        dtype = _compute_dtype(self.cfg)
         cond_embed = ConditionEncoder(
-            mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim
+            mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim,
+            dtype=dtype,
         )(conditions)
-        return Discriminator(hidden=self.cfg.d_hidden)(cond_embed, traj)
+        return Discriminator(hidden=self.cfg.d_hidden,
+                             dtype=dtype)(cond_embed, traj)
 
 
 @flax.struct.dataclass

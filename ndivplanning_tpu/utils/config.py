@@ -38,6 +38,9 @@ class Config:
     d_hidden: Tuple[int, ...] = (256, 256)
     cond_embed_dim: int = 64
     generator_output: str = "linear"  # linear | sigmoid
+    # Compute dtype for the dense/conv stacks (params stay f32; NDiv and
+    # env math stay f32 regardless).  "bf16" rides the MXU natively.
+    compute_dtype: str = "f32"  # f32 | bf16
 
     # Losses
     gan_loss: str = "bce"  # bce | lsgan | hinge
