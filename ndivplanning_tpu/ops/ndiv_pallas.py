@@ -47,6 +47,14 @@ _ROW_TILE_TARGET = 256
 _MAX_KP = 1024  # above this the packed Gram would blow VMEM; fall back to jnp
 _SUBLANE = 8  # float32 sublane granularity
 
+# Block-batched variant (the default): per-block [kp, kp] Grams via a
+# batched dot_general instead of one [R, R] Gram + mask.  VPU work per
+# tile drops from R^2 to TB*kp*128 (lane-padded), i.e. total VPU work
+# becomes independent of the row-tile size, so the tile can grow to
+# amortise grid overhead.  The NDiv loss is ~half the pod-config train
+# step, so this matters (benchmarks/ndiv_kernel_results.json).
+_BLOCK_ROW_TILE_TARGET = 1024
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -139,6 +147,96 @@ def _bwd_kernel(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int, k: int,
     dx_ref[:] = grad_wrt_points(x, dx_mat, rx, nx, -s)
 
 
+# ------------------------------------------------------- block-batched path
+
+
+def _block_masks(kp: int, k: int):
+    """[kp, kp] within-block validity mask (shared by every block)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
+    return (rows < k) & (cols < k) & (rows != cols)
+
+
+def _block_distances(a, valid):
+    """Per-block masked pairwise L2.
+
+    a: [TB, kp, d] -> (D [TB, kp, kp], rowsum [TB, kp, 1], n [TB, kp, kp])
+    """
+    sq = jnp.sum(a * a, axis=-1)  # [TB, kp]
+    gram = jax.lax.dot_general(
+        a, a,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # batched a @ a^T
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TB, kp, kp]
+    d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * gram, 0.0)
+    d = jnp.where(valid[None], jnp.sqrt(d2), 0.0)
+    r = jnp.sum(d, axis=-1, keepdims=True)  # [TB, kp, 1]
+    r_pos = r > 0.0
+    n = jnp.where(r_pos, d / jnp.where(r_pos, r, 1.0), 0.0)
+    return d, r, n
+
+
+def _fwd_kernel_block(z_ref, x_ref, out_ref, *, kp: int, k: int, tb: int,
+                      alpha: float):
+    valid = _block_masks(kp, k)
+    z = z_ref[:].reshape(tb, kp, z_ref.shape[-1])
+    x = x_ref[:].reshape(tb, kp, x_ref.shape[-1])
+    _, _, nz = _block_distances(z, valid)
+    _, _, nx = _block_distances(x, valid)
+    hinge = jnp.maximum(alpha * nz - nx, 0.0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += jnp.sum(hinge)
+
+
+def _bwd_kernel_block(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int,
+                      k: int, tb: int, alpha: float, inv_m: float):
+    valid = _block_masks(kp, k)
+    z = z_ref[:].reshape(tb, kp, z_ref.shape[-1])
+    x = x_ref[:].reshape(tb, kp, x_ref.shape[-1])
+    dz_mat, rz, nz = _block_distances(z, valid)
+    dx_mat, rx, nx = _block_distances(x, valid)
+
+    s = jnp.where((alpha * nz - nx > 0.0) & valid[None],
+                  g_ref[0, 0] * inv_m, 0.0)
+
+    def grad_wrt_points(a, d_mat, r, n, g_n):
+        c = jnp.sum(g_n * n, axis=-1, keepdims=True)  # [TB, kp, 1]
+        r_pos = r > 0.0
+        g_d = jnp.where(valid[None] & r_pos,
+                        (g_n - c) / jnp.where(r_pos, r, 1.0), 0.0)
+        d_pos = d_mat > 0.0
+        w = jnp.where(d_pos,
+                      (g_d + jnp.swapaxes(g_d, -1, -2))
+                      / jnp.where(d_pos, d_mat, 1.0), 0.0)
+        row_w = jnp.sum(w, axis=-1, keepdims=True)  # [TB, kp, 1]
+        wa = jax.lax.dot_general(
+            w, a,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batched w @ a
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TB, kp, d]
+        return row_w * a - wa
+
+    gz = grad_wrt_points(z, dz_mat, rz, nz, alpha * s)
+    gx = grad_wrt_points(x, dx_mat, rx, nx, -s)
+    dz_ref[:] = gz.reshape(tb * kp, z_ref.shape[-1])
+    dx_ref[:] = gx.reshape(tb * kp, x_ref.shape[-1])
+
+
+def _plan_block(batch: int, k: int):
+    kp = _round_up(k, _SUBLANE)
+    tb = max(1, _BLOCK_ROW_TILE_TARGET // kp)
+    row_tile = tb * kp
+    batch_pad = _round_up(batch, tb)
+    grid = batch_pad // tb
+    return kp, tb, row_tile, grid, batch_pad
+
+
 def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -147,17 +245,30 @@ def _fused_available(k: int) -> bool:
     return 2 <= k and _round_up(k, _SUBLANE) <= _MAX_KP
 
 
+# Kernel variant: "block" (per-block batched Grams, default) or "packed"
+# (one [R, R] Gram + block-diagonal mask).  Module-level so benchmarks can
+# flip it; both are parity-tested.
+VARIANT = "block"
+
+
 def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
     """Sum of hinge terms over all conditions/pairs (division by M on host)."""
     *lead, k, dz_dim = z.shape
     dx_dim = x.shape[-1]
     batch = math.prod(lead)
-    kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
+    if VARIANT == "block":
+        kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
+        kernel = functools.partial(_fwd_kernel_block, kp=kp, k=k, tb=tb,
+                                   alpha=float(alpha))
+    else:
+        kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
+        kernel = functools.partial(_fwd_kernel, kp=kp, k=k,
+                                   alpha=float(alpha))
     z2 = _pack(z, k, kp, batch, batch_pad)
     x2 = _pack(x, k, kp, batch, batch_pad)
 
     total = pl.pallas_call(
-        functools.partial(_fwd_kernel, kp=kp, k=k, alpha=float(alpha)),
+        kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),
@@ -183,15 +294,21 @@ def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
     *lead, k, dz_dim = z.shape
     dx_dim = x.shape[-1]
     batch = math.prod(lead)
-    kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
+    m = batch * k * (k - 1)
+    if VARIANT == "block":
+        kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
+        kernel = functools.partial(_bwd_kernel_block, kp=kp, k=k, tb=tb,
+                                   alpha=float(alpha), inv_m=1.0 / m)
+    else:
+        kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
+        kernel = functools.partial(_bwd_kernel, kp=kp, k=k,
+                                   alpha=float(alpha), inv_m=1.0 / m)
     z2 = _pack(z, k, kp, batch, batch_pad)
     x2 = _pack(x, k, kp, batch, batch_pad)
-    m = batch * k * (k - 1)
     g2 = jnp.reshape(g.astype(jnp.float32), (1, 1))
 
     dz2, dx2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, kp=kp, k=k, alpha=float(alpha),
-                          inv_m=1.0 / m),
+        kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),

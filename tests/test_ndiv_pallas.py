@@ -81,6 +81,30 @@ def test_front_door_impl_switch():
     np.testing.assert_allclose(a, c, rtol=1e-5)
 
 
+def test_both_kernel_variants_parity():
+    from ndivplanning_tpu.ops import ndiv_pallas
+
+    z, x = _case(55, 3, 8, 2, 16)
+    want = float(ndiv_loss_reference(z, x, 0.8))
+    ref_g = jax.grad(lambda a, b: ndiv_loss_reference(a, b, 0.8),
+                     argnums=(0, 1))(z, x)
+    orig = ndiv_pallas.VARIANT
+    try:
+        for variant in ("block", "packed"):
+            ndiv_pallas.VARIANT = variant
+            got = float(ndiv_loss_fused(z, x, 0.8))
+            np.testing.assert_allclose(got, want, rtol=1e-5,
+                                       err_msg=variant)
+            g = jax.grad(lambda a, b: ndiv_loss_fused(a, b, 0.8),
+                         argnums=(0, 1))(z, x)
+            np.testing.assert_allclose(np.asarray(g[0]), np.asarray(ref_g[0]),
+                                       rtol=1e-4, atol=1e-6, err_msg=variant)
+            np.testing.assert_allclose(np.asarray(g[1]), np.asarray(ref_g[1]),
+                                       rtol=1e-4, atol=1e-6, err_msg=variant)
+    finally:
+        ndiv_pallas.VARIANT = orig
+
+
 def test_jit_and_grad_compose():
     z, x = _case(9, 2, 8, 2, 8)
 
