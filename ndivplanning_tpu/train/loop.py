@@ -106,6 +106,40 @@ def train(cfg: Config, num_steps: Optional[int] = None,
     return state, history
 
 
+def train_from_dataset(cfg: Config, dataset, num_epochs: int,
+                       state: TrainState | None = None, prefetch: int = 2):
+    """Train from a recorded host dataset (data/host_pipeline.py) instead
+    of the on-device samplers — the reference's dataset-loading path
+    (SURVEY.md §2 C9).  Batches stream through the async H2D prefetcher;
+    each reaches the jitted externally-batched ``train_step``.
+
+    ``dataset`` is an ArrayDataset whose arrays include ``conditions`` and
+    ``real_traj``.  Returns (state, last_metrics).
+    """
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.data.host_pipeline import epochs
+    from ndivplanning_tpu.data.tasks import Batch
+    from ndivplanning_tpu.envs.types import Scene
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.train.step import train_step
+
+    if state is None:
+        state = create_train_state(cfg)
+    metrics = None
+    dummy_scene = jax.vmap(lambda _: Scene.create([0.0, 0.0], [1.0, 1.0]))(
+        jnp.zeros(cfg.batch_size))
+    for host_batch in epochs(dataset, cfg.batch_size, num_epochs,
+                             seed=cfg.seed, prefetch=prefetch):
+        batch = Batch(
+            conditions=jnp.asarray(host_batch["conditions"]),
+            real_traj=jnp.asarray(host_batch["real_traj"]),
+            scenes=dummy_scene,
+        )
+        state, metrics = train_step(cfg, state, batch)
+    return state, metrics
+
+
 def run_steps(cfg: Config, state: TrainState, n: int):
     """Run n fused steps without any logging/IO; returns (state, last_metrics).
 

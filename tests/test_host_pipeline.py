@@ -77,6 +77,27 @@ def test_npz_roundtrip(tmp_path):
                                   ds.arrays["real_traj"])
 
 
+def test_train_from_dataset():
+    import jax
+
+    from ndivplanning_tpu.data.tasks import make_task
+    from ndivplanning_tpu.train.loop import train_from_dataset
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("goalcond", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8)
+    # Record a small dataset from the on-device sampler, then train on the
+    # recorded copy through the host pipeline.
+    task = make_task(cfg)
+    b = task.sample(jax.random.PRNGKey(0), 32)
+    ds = ArrayDataset({"conditions": np.asarray(b.conditions),
+                       "real_traj": np.asarray(b.real_traj)})
+    state, metrics = train_from_dataset(cfg, ds, num_epochs=2)
+    assert int(state.step) == 2 * (32 // 8)
+    for k_, v in metrics.items():
+        assert np.isfinite(float(v)), k_
+
+
 def test_validation():
     with pytest.raises(ValueError):
         ArrayDataset({})

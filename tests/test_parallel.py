@@ -93,6 +93,28 @@ def test_pod_dp_preset_runs_shrunk():
         assert np.all(np.isfinite(np.asarray(v))), name
 
 
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    # Checkpoint/restore of a mesh-sharded TrainState (pod resume path).
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+
+    cfg = _cfg(dp=4, div=2)
+    step_fn, mesh = make_sharded_train_step(cfg)
+    s = shard_state(create_train_state(cfg), mesh)
+    s, _ = step_fn(s)
+    ckpt.save_checkpoint(str(tmp_path), s)
+
+    template = shard_state(create_train_state(cfg), mesh)
+    restored = ckpt.restore_latest(str(tmp_path), template)
+    assert restored is not None and int(restored.step) == 1
+    # Restored run continues identically to the uninterrupted one.
+    s_cont, m_cont = step_fn(restored)
+    s2 = shard_state(create_train_state(cfg), mesh)
+    s2, _ = step_fn(s2)
+    s2, m2 = step_fn(s2)
+    np.testing.assert_allclose(float(m_cont["g_ndiv"][-1]),
+                               float(m2["g_ndiv"][-1]), rtol=1e-5)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(dp=64, div=2)
