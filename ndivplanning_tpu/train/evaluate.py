@@ -64,7 +64,7 @@ def evaluate(cfg: Config, state: TrainState, key: jax.Array,
     per_cond = jax.vmap(
         lambda scene, taus_k: jax.vmap(lambda t: roll_one(scene, t))(taus_k)
     )(batch.scenes, taus)
-    return {
+    out = {
         "eval_mean_pairwise_dist": mean_pairwise,
         "eval_ndiv": ndiv,
         "eval_endpoint_err": endpoint_err,
@@ -72,3 +72,14 @@ def evaluate(cfg: Config, state: TrainState, key: jax.Array,
         "eval_collision_rate": jnp.mean(per_cond.collided),
         "eval_mean_score": jnp.mean(per_cond.score),
     }
+    if cfg.conditioning == "none":
+        # Mode coverage (NDiv-paper-style): the unconditioned task's data
+        # modes are 8 anchor goals on a circle around (.5,.5); coverage =
+        # fraction of angular bins hit by the k samples per condition.
+        n_modes = 8
+        ang = jnp.arctan2(endpoints[..., 1] - 0.5, endpoints[..., 0] - 0.5)
+        bins = jnp.floor((ang + jnp.pi) / (2.0 * jnp.pi) * n_modes)
+        bins = jnp.clip(bins, 0, n_modes - 1).astype(jnp.int32)  # [B, k]
+        hit = jax.nn.one_hot(bins, n_modes).max(axis=1)  # [B, n_modes]
+        out["eval_mode_coverage"] = jnp.mean(jnp.sum(hit, axis=-1) / n_modes)
+    return out

@@ -16,15 +16,22 @@ from typing import IO, Mapping
 
 
 class MetricsWriter:
-    """Append-only JSONL metrics stream + optional console echo."""
+    """Append-only JSONL metrics stream + optional console echo +
+    optional TensorBoard summaries (``tensorboard=True``; uses
+    ``flax.metrics.tensorboard``, imported lazily)."""
 
     def __init__(self, workdir: str | None = None, echo: bool = True,
-                 filename: str = "metrics.jsonl"):
+                 filename: str = "metrics.jsonl", tensorboard: bool = False):
         self._echo = echo
         self._fh: IO[str] | None = None
+        self._tb = None
         if workdir is not None:
             os.makedirs(workdir, exist_ok=True)
             self._fh = open(os.path.join(workdir, filename), "a")
+            if tensorboard:
+                from flax.metrics import tensorboard as tb
+
+                self._tb = tb.SummaryWriter(os.path.join(workdir, "tb"))
         self._t0 = time.monotonic()
 
     def write(self, step: int, scalars: Mapping[str, float], **extra) -> None:
@@ -37,6 +44,9 @@ class MetricsWriter:
         if self._fh is not None:
             self._fh.write(json.dumps(row) + "\n")
             self._fh.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.scalar(k, float(v), step)
         if self._echo:
             parts = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
@@ -48,3 +58,6 @@ class MetricsWriter:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

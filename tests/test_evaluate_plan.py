@@ -23,11 +23,25 @@ def test_evaluate_returns_finite_scalars():
     state = create_train_state(cfg)
     out = evaluate(cfg, state, jax.random.PRNGKey(0), eval_batch=8)
     expected = {"eval_mean_pairwise_dist", "eval_ndiv", "eval_endpoint_err",
-                "eval_success_rate", "eval_collision_rate", "eval_mean_score"}
+                "eval_success_rate", "eval_collision_rate", "eval_mean_score",
+                "eval_mode_coverage"}
     assert set(out) == expected
     for k, v in out.items():
         assert np.isfinite(float(v)), k
     assert 0.0 <= float(out["eval_success_rate"]) <= 1.0
+    assert 0.0 < float(out["eval_mode_coverage"]) <= 1.0
+
+
+def test_mode_coverage_detects_collapse():
+    # A generator collapsed to one output must score coverage 1/8.
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    zeroed = jax.tree.map(jnp.zeros_like, state.g_params)
+    state = state.replace(g_params=zeroed)  # all-zero G -> constant output
+    out = evaluate(cfg, state, jax.random.PRNGKey(0), eval_batch=8)
+    np.testing.assert_allclose(float(out["eval_mode_coverage"]), 1.0 / 8)
 
 
 def test_plan_shapes_and_selection():
