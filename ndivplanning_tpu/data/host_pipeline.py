@@ -84,3 +84,35 @@ def epochs(dataset: ArrayDataset, batch_size: int, num_epochs: int,
             yield from dataset.batches(batch_size, seed=seed + e)
 
     yield from prefetch_to_device(host_stream(), buffer_size=prefetch)
+
+
+def record_dataset(cfg, n_examples: int, path: str, *, seed: int = 0,
+                   filter_collisions: bool = True) -> dict:
+    """Record a dataset from the on-device task sampler to ``path`` (npz),
+    validating expert trajectories with the native C++ collision checker
+    (data/native.py) and dropping colliding ones.
+
+    Returns {"kept": int, "dropped": int}.  The recorded file round-trips
+    through :class:`ArrayDataset.from_npz` into
+    ``train.loop.train_from_dataset``.
+    """
+    import jax
+
+    from ndivplanning_tpu.data.native import collision_mask_host
+    from ndivplanning_tpu.data.tasks import make_task
+
+    task = make_task(cfg)
+    batch = task.sample(jax.random.PRNGKey(seed), n_examples)
+    conditions = np.asarray(batch.conditions)
+    trajs = np.asarray(batch.real_traj)
+    if filter_collisions:
+        hit = collision_mask_host(
+            trajs,
+            np.asarray(batch.scenes.obstacles),
+            np.asarray(batch.scenes.obstacle_mask),
+        )
+        keep = hit == 0
+    else:
+        keep = np.ones(len(trajs), bool)
+    np.savez(path, conditions=conditions[keep], real_traj=trajs[keep])
+    return {"kept": int(keep.sum()), "dropped": int((~keep).sum())}

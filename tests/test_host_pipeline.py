@@ -98,6 +98,22 @@ def test_train_from_dataset():
         assert np.isfinite(float(v)), k_
 
 
+def test_record_dataset_roundtrip(tmp_path):
+    from ndivplanning_tpu.data.host_pipeline import record_dataset
+    from ndivplanning_tpu.train.loop import train_from_dataset
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("goalcond", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8)
+    path = str(tmp_path / "recorded.npz")
+    stats = record_dataset(cfg, 40, path)
+    assert stats["kept"] + stats["dropped"] == 40
+    assert stats["kept"] >= 8  # goalcond scenes are obstacle-free
+    ds = ArrayDataset.from_npz(path)
+    state, metrics = train_from_dataset(cfg, ds, num_epochs=1)
+    assert int(state.step) == stats["kept"] // 8
+
+
 def test_validation():
     with pytest.raises(ValueError):
         ArrayDataset({})

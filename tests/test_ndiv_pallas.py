@@ -105,6 +105,30 @@ def test_both_kernel_variants_parity():
         ndiv_pallas.VARIANT = orig
 
 
+def test_random_shape_sweep_parity():
+    # Property-style sweep (SURVEY.md §4: "hypothesis-style random shapes
+    # (k in 2..64, dz in 1..16)"): random shapes, values + grads vs jnp.
+    rng = np.random.default_rng(1234)
+    for trial in range(10):
+        b = int(rng.integers(1, 7))
+        k = int(rng.integers(2, 65))
+        dz = int(rng.integers(1, 17))
+        dx = int(rng.integers(1, 80))
+        z, x = _case(trial, b, k, dz, dx)
+        want = float(ndiv_loss_reference(z, x, 0.8))
+        got = float(ndiv_loss_fused(z, x, 0.8))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"{(b, k, dz, dx)}")
+        if trial % 3 == 0:  # grads on a subset (interpret mode is slow)
+            rg = jax.grad(lambda a, c: ndiv_loss_reference(a, c, 0.8),
+                          argnums=(0, 1))(z, x)
+            kg = jax.grad(lambda a, c: ndiv_loss_fused(a, c, 0.8),
+                          argnums=(0, 1))(z, x)
+            np.testing.assert_allclose(np.asarray(kg[1]), np.asarray(rg[1]),
+                                       rtol=1e-3, atol=1e-6,
+                                       err_msg=f"{(b, k, dz, dx)}")
+
+
 def test_jit_and_grad_compose():
     z, x = _case(9, 2, 8, 2, 8)
 
