@@ -31,14 +31,24 @@ from ndivplanning_tpu.utils.config import Config
 
 
 def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
-    """NDiv loss on [B, k, ...] latents/trajectories per the config impl."""
+    """NDiv loss on [B, k, ...] latents/trajectories per the config impl.
+
+    Multi-device configs default to the jnp path: XLA's SPMD partitioner
+    shards it like any other op (inserting the diversity all-gather
+    itself), whereas a ``pallas_call`` inside a GSPMD program is an
+    opaque custom call the partitioner cannot split.  ``impl="pallas"``
+    still forces the kernel (for single-chip-per-replica layouts).
+    """
     b, k = z.shape[:2]
     x = traj.reshape(b, k, -1)
     if cfg.ndiv_impl == "jnp":
         return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
     from ndivplanning_tpu.ops import ndiv_pallas
 
-    if cfg.ndiv_impl == "pallas" or jax.default_backend() == "tpu":
+    if cfg.ndiv_impl == "pallas":
+        return ndiv_pallas.ndiv_loss_fused(z, x, cfg.ndiv_alpha)
+    multi_device = cfg.dp_shards * cfg.div_shards > 1
+    if jax.default_backend() == "tpu" and not multi_device:
         return ndiv_pallas.ndiv_loss_fused(z, x, cfg.ndiv_alpha)
     return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
 
