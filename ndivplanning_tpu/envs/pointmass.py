@@ -63,12 +63,14 @@ def step(params: EnvParams, scene: Scene, state: EnvState,
     dist_to_goal = jnp.sqrt(jnp.sum(jnp.square(pos - scene.goal)))
     reached_now = (dist_to_goal < params.goal_radius).astype(jnp.float32)
 
-    # Freeze the state once done (scan-safe early termination).
-    live = 1.0 - state.done
+    # Freeze the state once done (scan-safe early termination).  `where`
+    # (not lerp-style arithmetic) so live steps are bitwise-exact.
+    alive = state.done < 0.5
+    live = alive.astype(jnp.float32)
     new_state = EnvState(
-        pos=state.pos + live * (pos - state.pos),
-        vel=state.vel + live * (vel - state.vel),
-        t=state.t + (live > 0.5).astype(jnp.int32),
+        pos=jnp.where(alive, pos, state.pos),
+        vel=jnp.where(alive, vel, state.vel),
+        t=state.t + alive.astype(jnp.int32),
         done=jnp.maximum(state.done, live * reached_now),
         collided=jnp.maximum(state.collided, live * collided_now),
     )
