@@ -73,16 +73,25 @@ def train(cfg: Config, num_steps: Optional[int] = None,
         return min(c for c in cands if c > s)
 
     step = int(state.step)
-    while step < num_steps:
+    interrupted = False
+    while step < num_steps and not interrupted:
         target = next_boundary(step)
         chunk = target - step
         # Chunked lax.scan execution amortises per-step dispatch latency.
         # With default config the boundaries align so only ONE chunk size
         # (log_every) compiles — compiles are expensive on TPU.
-        if sharded:
-            state, metrics = sharded_chunk(state, chunk)
-        else:
-            state, metrics = train_chunk(cfg, state, chunk)
+        try:
+            if sharded:
+                state, metrics = sharded_chunk(state, chunk)
+            else:
+                state, metrics = train_chunk(cfg, state, chunk)
+        except KeyboardInterrupt:
+            # Graceful stop: persist progress so the run resumes exactly
+            # (SURVEY.md §5 failure detection / resume).
+            interrupted = True
+            if workdir and cfg.checkpoint_every:
+                ckpt.save_checkpoint(workdir, state)
+            break
         last = {k: float(v[-1]) for k, v in metrics.items()}
         step = target
 
