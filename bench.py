@@ -159,7 +159,9 @@ def main() -> None:
 
     steps_per_sec = 1.0 / tpu["train_step_s"]
     vs_train = cpu["train_step_s"] / tpu["train_step_s"]
-    pairs = NDIV_B * NDIV_K * NDIV_K
+    # Ordered pairs the loss actually evaluates: k*(k-1) per condition
+    # (the k diagonal self-pairs are excluded by definition).
+    pairs = NDIV_B * NDIV_K * (NDIV_K - 1)
     vs_ndiv = cpu["ndiv_fwdbwd_s"] / tpu["ndiv_fwdbwd_s"]
     vs_roll = tpu["rollout_steps_per_s"] / cpu["rollout_steps_per_s"]
 

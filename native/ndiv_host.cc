@@ -94,7 +94,9 @@ void ndiv_rasterize_scenes(const float* obstacles, const float* mask,
 }
 
 // trajs: [B, H, 2] waypoints; obstacles/mask as above (per-batch scene);
-// out: [B] uint8, 1 when any waypoint is strictly inside a live disc.
+// out: [B] uint8, 1 when the polyline through the waypoints intersects a
+// live disc.  Swept segment-vs-disc (matching envs/pointmass.py): a point
+// check would tunnel through obstacles thinner than one step's travel.
 void ndiv_check_collisions(const float* trajs, const float* obstacles,
                            const float* mask, int batch, int horizon,
                            int max_obs, uint8_t* out, int n_threads) {
@@ -104,13 +106,25 @@ void ndiv_check_collisions(const float* trajs, const float* obstacles,
     const float* msk = mask + static_cast<size_t>(b) * max_obs;
     uint8_t hit = 0;
     for (int t = 0; t < horizon && !hit; ++t) {
-      const float x = traj[t * 2 + 0], y = traj[t * 2 + 1];
+      // segment from the previous waypoint (or the point itself at t=0)
+      const float ax = traj[(t > 0 ? t - 1 : t) * 2 + 0];
+      const float ay = traj[(t > 0 ? t - 1 : t) * 2 + 1];
+      const float bx = traj[t * 2 + 0], by = traj[t * 2 + 1];
+      const float dx = bx - ax, dy = by - ay;
+      const float len2 = dx * dx + dy * dy;
       for (int o = 0; o < max_obs; ++o) {
         if (msk[o] <= 0.5f) continue;
-        const float dx = x - obs[o * 3 + 0];
-        const float dy = y - obs[o * 3 + 1];
+        const float cx = obs[o * 3 + 0], cy = obs[o * 3 + 1];
         const float r = obs[o * 3 + 2];
-        if (dx * dx + dy * dy < r * r) {
+        float tt = 0.0f;
+        if (len2 >= 1e-12f) {
+          tt = ((cx - ax) * dx + (cy - ay) * dy) / len2;
+          if (tt < 0.0f) tt = 0.0f;
+          if (tt > 1.0f) tt = 1.0f;
+        }
+        const float px = ax + tt * dx - cx;
+        const float py = ay + tt * dy - cy;
+        if (px * px + py * py < r * r) {
           hit = 1;
           break;
         }

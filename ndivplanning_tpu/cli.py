@@ -88,24 +88,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "plan":
-        from ndivplanning_tpu.data.scenes import random_scene, rasterize_scene
-        from ndivplanning_tpu.models.conditioning import condition_input_example
+        from ndivplanning_tpu.data.scenes import random_scene
         from ndivplanning_tpu.planning.planner import plan
+        from ndivplanning_tpu.planning.server import _condition_for
         from ndivplanning_tpu.train.state import create_train_state
         from ndivplanning_tpu.utils import checkpoint as ckpt
-        import jax.numpy as jnp
 
         state = create_train_state(cfg)
         restored = ckpt.restore_latest(cfg.workdir, state)
         if restored is not None:
             state = restored
         scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
-        if cfg.conditioning == "image":
-            condition = rasterize_scene(scene, size=cfg.image_size)
-        elif cfg.conditioning == "startgoal":
-            condition = jnp.concatenate([scene.start, scene.goal])
-        else:
-            condition = jnp.zeros((0,), jnp.float32)
+        condition = _condition_for(cfg, scene)
         result = plan(cfg, state, scene, condition,
                       jax.random.PRNGKey(cfg.seed + 4))
         print(json.dumps({

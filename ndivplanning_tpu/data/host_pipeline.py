@@ -55,7 +55,11 @@ def prefetch_to_device(iterator: Iterator[dict], buffer_size: int = 2,
                        device=None) -> Iterator[dict]:
     """Async H2D prefetch: a daemon thread stages ``buffer_size`` batches
     onto the device ahead of the consumer (double buffering by default),
-    overlapping host batch prep + transfer with device compute."""
+    overlapping host batch prep + transfer with device compute.
+
+    A producer-side failure (corrupt record, device OOM) is re-raised in
+    the consumer rather than silently truncating the stream.
+    """
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
 
@@ -63,8 +67,9 @@ def prefetch_to_device(iterator: Iterator[dict], buffer_size: int = 2,
         try:
             for batch in iterator:
                 q.put({k: jax.device_put(v, device) for k, v in batch.items()})
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -72,6 +77,8 @@ def prefetch_to_device(iterator: Iterator[dict], buffer_size: int = 2,
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -115,7 +115,8 @@ def collision_mask_host(trajs, obstacles, obstacle_mask,
     """Waypoint-level collision check for recorded expert trajectories.
 
     trajs ``[B, H, 2]`` against per-example scenes; returns ``[B]`` uint8
-    (1 = some waypoint strictly inside a live obstacle disc).  Used to
+    (1 = the polyline through the waypoints intersects a live obstacle
+    disc — swept segment check, matching envs/pointmass.py).  Used to
     filter recorded datasets before host-pipeline training.
     """
     trajs = _as_f32(trajs)
@@ -129,8 +130,15 @@ def collision_mask_host(trajs, obstacles, obstacle_mask,
         lib.ndiv_check_collisions(trajs, obstacles, mask, b, h, max_obs, out,
                                   n_threads)
         return out
-    d2 = (np.sum(
-        (trajs[:, :, None, :] - obstacles[:, None, :, :2]) ** 2, axis=-1))
-    inside = (d2 < obstacles[:, None, :, 2] ** 2) & (
-        mask[:, None, :] > 0.5)
+    # NumPy fallback: segment (prev waypoint -> waypoint) vs disc.
+    prev = np.concatenate([trajs[:, :1], trajs[:, :-1]], axis=1)  # [B, H, 2]
+    a = prev[:, :, None, :]  # [B, H, 1, 2]
+    d = (trajs - prev)[:, :, None, :]
+    c = obstacles[:, None, :, :2]  # [B, 1, MAX_OBS, 2]
+    len2 = np.sum(d * d, axis=-1)  # [B, H, 1]
+    t = np.sum((c - a) * d, axis=-1) / np.maximum(len2, 1e-12)
+    t = np.clip(t, 0.0, 1.0)[..., None]  # [B, H, MAX_OBS, 1]
+    closest = a + t * d
+    d2 = np.sum((c - closest) ** 2, axis=-1)
+    inside = (d2 < obstacles[:, None, :, 2] ** 2) & (mask[:, None, :] > 0.5)
     return np.any(inside, axis=(1, 2)).astype(np.uint8)

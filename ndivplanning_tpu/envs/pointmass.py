@@ -41,10 +41,22 @@ def _clip_speed(vel: jnp.ndarray, max_speed: jnp.ndarray) -> jnp.ndarray:
     return vel * scale
 
 
-def _collision(pos: jnp.ndarray, scene: Scene) -> jnp.ndarray:
-    """1.0 if pos is inside any live obstacle disc, else 0.0."""
-    delta = pos[None, :] - scene.obstacles[:, :2]  # [MAX_OBS, 2]
-    dist2 = jnp.sum(delta * delta, axis=-1)
+def _collision(prev_pos: jnp.ndarray, pos: jnp.ndarray,
+               scene: Scene) -> jnp.ndarray:
+    """1.0 if the segment prev_pos->pos intersects any live obstacle disc.
+
+    Swept (segment-vs-disc) rather than a point check: one step can move
+    up to max_speed*dt = 0.2 while the smallest obstacle diameter is
+    0.12, so a point check would tunnel straight through thin obstacles.
+    """
+    a = prev_pos[None, :]  # [1, 2]
+    d = (pos - prev_pos)[None, :]
+    c = scene.obstacles[:, :2]  # [MAX_OBS, 2]
+    len2 = jnp.sum(d * d, axis=-1)  # [1]
+    t = jnp.sum((c - a) * d, axis=-1) / jnp.maximum(len2, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)[:, None]  # [MAX_OBS, 1]
+    closest = a + t * d  # [MAX_OBS, 2]
+    dist2 = jnp.sum(jnp.square(c - closest), axis=-1)
     inside = dist2 < jnp.square(scene.obstacles[:, 2])
     hit = jnp.any(inside & (scene.obstacle_mask > 0.5))
     return hit.astype(jnp.float32)
@@ -59,7 +71,7 @@ def step(params: EnvParams, scene: Scene, state: EnvState,
     pos = jnp.clip(raw_pos, params.bounds_lo, params.bounds_hi)
     vel = jnp.where(pos == raw_pos, vel, 0.0)  # absorbing walls
 
-    collided_now = _collision(pos, scene)
+    collided_now = _collision(state.pos, pos, scene)
     dist_to_goal = jnp.sqrt(jnp.sum(jnp.square(pos - scene.goal)))
     reached_now = (dist_to_goal < params.goal_radius).astype(jnp.float32)
 

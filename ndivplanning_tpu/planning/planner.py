@@ -35,9 +35,16 @@ class PlanResult(NamedTuple):
 
 
 def _diverse_top_m(flat: jnp.ndarray, scores: jnp.ndarray, m: int):
-    """Greedy farthest-point selection among the best-scoring half."""
+    """Greedy farthest-point selection among the best-scoring half.
+
+    ``m`` is clamped to the pool size (the better-scoring half) so the
+    returned indices are always distinct.
+    """
     n = scores.shape[0]
-    half = n // 2
+    half = max(n // 2, 1)
+    m = min(m, half)  # static clamp: no duplicate padding
+    if m <= 1:
+        return jnp.argsort(scores)[:1]
     order = jnp.argsort(scores)  # best first
     pool = order[:half]
     pool_flat = flat[pool]  # [half, D]

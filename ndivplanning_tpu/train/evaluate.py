@@ -78,8 +78,11 @@ def evaluate(cfg: Config, state: TrainState, key: jax.Array,
         # fraction of angular bins hit by the k samples per condition.
         n_modes = 8
         ang = jnp.arctan2(endpoints[..., 1] - 0.5, endpoints[..., 0] - 0.5)
-        bins = jnp.floor((ang + jnp.pi) / (2.0 * jnp.pi) * n_modes)
-        bins = jnp.clip(bins, 0, n_modes - 1).astype(jnp.int32)  # [B, k]
+        # Bin CENTRES on the anchors (round, not floor): the anchors sit
+        # at 2*pi*m/8 exactly, so floor-binning would put every mode on a
+        # bin edge and split it across two bins.
+        bins = jnp.floor(ang / (2.0 * jnp.pi / n_modes) + 0.5)
+        bins = jnp.mod(bins, n_modes).astype(jnp.int32)  # [B, k]
         hit = jax.nn.one_hot(bins, n_modes).max(axis=1)  # [B, n_modes]
         out["eval_mode_coverage"] = jnp.mean(jnp.sum(hit, axis=-1) / n_modes)
     return out

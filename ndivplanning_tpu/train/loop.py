@@ -73,45 +73,62 @@ def train(cfg: Config, num_steps: Optional[int] = None,
         return min(c for c in cands if c > s)
 
     step = int(state.step)
-    interrupted = False
-    while step < num_steps and not interrupted:
-        target = next_boundary(step)
-        chunk = target - step
-        # Chunked lax.scan execution amortises per-step dispatch latency.
-        # With default config the boundaries align so only ONE chunk size
-        # (log_every) compiles — compiles are expensive on TPU.
-        try:
+    steps_since_log = 0
+    try:
+        while step < num_steps:
+            target = next_boundary(step)
+            chunk = target - step
+            # Chunked lax.scan execution amortises per-step dispatch
+            # latency.  With default config the boundaries align so only
+            # ONE chunk size (log_every) compiles — compiles are
+            # expensive on TPU.
             if sharded:
                 state, metrics = sharded_chunk(state, chunk)
             else:
                 state, metrics = train_chunk(cfg, state, chunk)
-        except KeyboardInterrupt:
-            # Graceful stop: persist progress so the run resumes exactly
-            # (SURVEY.md §5 failure detection / resume).
-            interrupted = True
-            if workdir and cfg.checkpoint_every:
+            # The float() below is where the host actually blocks on the
+            # async dispatch — keep it inside the try so an interrupt
+            # here still checkpoints.
+            last = {k: float(v[-1]) for k, v in metrics.items()}
+            step = target
+            steps_since_log += chunk
+
+            if cfg.log_every and (step % cfg.log_every == 0
+                                  or step == num_steps):
+                now = time.monotonic()
+                last["steps_per_sec"] = steps_since_log / max(
+                    now - t_last, 1e-9)
+                t_last = now
+                steps_since_log = 0
+                writer.write(step, last)
+                history.append({"step": step, **last})
+            if (workdir and cfg.checkpoint_every
+                    and step % cfg.checkpoint_every == 0):
                 ckpt.save_checkpoint(workdir, state)
-            break
-        last = {k: float(v[-1]) for k, v in metrics.items()}
-        step = target
+            if (cfg.eval_every and step % cfg.eval_every == 0
+                    and step < num_steps):
+                eval_key = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed + 1), step)
+                ev = {k: float(v) for k, v in
+                      evaluate(cfg, state, eval_key).items()}
+                writer.write(step, ev, kind="eval")
 
-        if cfg.log_every and (step % cfg.log_every == 0 or step == num_steps):
-            now = time.monotonic()
-            last["steps_per_sec"] = chunk / max(now - t_last, 1e-9)
-            t_last = now
-            writer.write(step, last)
-            history.append({"step": step, **last})
-        if workdir and cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+        if workdir and cfg.checkpoint_every:
             ckpt.save_checkpoint(workdir, state)
-        if cfg.eval_every and step % cfg.eval_every == 0 and step < num_steps:
-            eval_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), step)
-            ev = {k: float(v) for k, v in
-                  evaluate(cfg, state, eval_key).items()}
-            writer.write(step, ev, kind="eval")
-
-    if workdir and cfg.checkpoint_every:
-        ckpt.save_checkpoint(workdir, state)
-    writer.close()
+    except KeyboardInterrupt:
+        # Graceful stop (SURVEY.md §5 failure/resume).  `state` holds the
+        # newest completed dispatch's OUTPUT, which is save-able; only if
+        # the interrupt landed inside a dispatch itself does `state`
+        # still name the donated input — then saving raises and we skip
+        # it (the periodic checkpoint remains the resume point).
+        if workdir and cfg.checkpoint_every:
+            try:
+                ckpt.save_checkpoint(workdir, state)
+            except Exception:
+                pass
+        raise
+    finally:
+        writer.close()
     return state, history
 
 

@@ -46,7 +46,14 @@ class PyPointMassEnv:
             if pos[i] != raw[i]:
                 vel[i] = 0.0
         for o in self.obstacles:
-            if float(np.sum((pos - o[:2]) ** 2)) < float(o[2] ** 2):
+            # segment (old pos -> new pos) vs disc, matching the env's
+            # swept-collision semantics
+            a, d, c = self.pos, pos - self.pos, o[:2]
+            len2 = float(np.dot(d, d))
+            t = 0.0 if len2 < 1e-12 else float(np.dot(c - a, d)) / len2
+            t = min(max(t, 0.0), 1.0)
+            closest = a + np.float32(t) * d
+            if float(np.sum((c - closest) ** 2)) < float(o[2] ** 2):
                 self.collided = True
         dist = math.sqrt(float(np.sum((pos - self.goal) ** 2)))
         if dist < self.goal_radius:

@@ -78,6 +78,21 @@ def test_collision_latches():
     assert float(s.collided) == 1.0
 
 
+def test_no_tunneling_through_thin_obstacle():
+    # One step moves up to max_speed*dt = 0.2; an r=0.06 disc must still
+    # be hit when the segment crosses it even if both endpoints are
+    # outside (swept segment-vs-disc collision).
+    scene = Scene.create([0.42, 0.5], [0.9, 0.5], [[0.5, 0.5, 0.06]])
+    params = EnvParams.create()
+    s = reset(params, scene)
+    s = s.replace(vel=jnp.asarray([2.0, 0.0]))  # already at full speed
+    s2, info = step(params, scene, s, jnp.zeros(2))
+    # pos went 0.42 -> 0.62: both endpoints are >= 0.08 from the centre,
+    # but the segment passes through the disc.
+    assert float(s2.pos[0]) > 0.6
+    assert float(s2.collided) == 1.0
+
+
 def test_masked_obstacles_ignored():
     # A padding row at the origin must not collide.
     scene = Scene.create([0.0, 0.0], [1.0, 1.0])

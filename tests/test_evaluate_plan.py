@@ -81,6 +81,22 @@ def test_plan_batch_matches_individual():
                                float(one.best_score), rtol=1e-5)
 
 
+def test_diverse_top_m_clamped_to_pool():
+    # n_diverse > half the candidates: indices must stay distinct (the
+    # selection clamps to the better-scoring half rather than padding
+    # with repeats).
+    cfg = _cfg("pointmass2d", n_candidates=10)
+    state = create_train_state(cfg)
+    from ndivplanning_tpu.data.scenes import random_scene
+
+    scene = random_scene(jax.random.PRNGKey(5))
+    result = plan(cfg, state, scene, jnp.zeros((0,), jnp.float32),
+                  jax.random.PRNGKey(6), n_candidates=10, n_diverse=8)
+    idx = np.asarray(result.diverse_idx)
+    assert len(idx) == 5  # clamped to the pool (half of 10)
+    assert len(set(idx.tolist())) == len(idx)
+
+
 def test_plan_unconditioned_mode():
     cfg = _cfg("pointmass2d", n_candidates=32)
     state = create_train_state(cfg)

@@ -62,6 +62,17 @@ def test_prefetch_to_device_yields_device_arrays():
         np.sort(ds.arrays["conditions"][:, 0]))
 
 
+def test_prefetch_propagates_producer_errors():
+    def broken():
+        yield {"a": np.zeros((2, 2), np.float32)}
+        raise RuntimeError("corrupt record")
+
+    stream = prefetch_to_device(broken())
+    next(stream)
+    with pytest.raises(RuntimeError, match="corrupt record"):
+        next(stream)
+
+
 def test_multi_epoch_stream():
     ds = _dataset(16)
     out = list(epochs(ds, batch_size=8, num_epochs=3))
