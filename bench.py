@@ -102,7 +102,6 @@ def bench_torch_cpu():
 def bench_jax():
     """TPU-native numbers on the live backend."""
     import jax
-    import jax.numpy as jnp
 
     from ndivplanning_tpu.ops.ndiv import ndiv_loss
     from ndivplanning_tpu.envs.rollout import score_candidates

@@ -9,7 +9,6 @@ keeps the next batch's H2D copy in flight while the current step runs.
 
 from __future__ import annotations
 
-import collections
 import threading
 import queue
 from typing import Iterator, Mapping

@@ -12,7 +12,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from ndivplanning_tpu.train.evaluate import evaluate
 from ndivplanning_tpu.train.state import TrainState, create_train_state

@@ -1,7 +1,6 @@
 """Task sampler tests (C9): shapes, determinism, multimodality, scenes."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -1,6 +1,5 @@
 """Env golden tests: lax.scan env vs step-by-step Python twin (SURVEY §4)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

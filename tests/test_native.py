@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from ndivplanning_tpu.data.native import (
     collision_mask_host,

@@ -1,6 +1,5 @@
 """Rollout engine tests: vmapped scoring, modes, weights (SURVEY §3.3)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

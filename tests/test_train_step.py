@@ -2,7 +2,6 @@
 semantics hold (SURVEY.md §3.1, §7 hard-parts #3)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
