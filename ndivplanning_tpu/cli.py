@@ -49,9 +49,12 @@ def _build_config(args):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "eval", "plan", "serve"):
+    for name in ("train", "eval", "plan", "serve", "viz"):
         p = sub.add_parser(name)
         _add_common(p)
+        if name == "viz":
+            p.add_argument("--out", default="plan.png",
+                           help="output PNG path")
     args = parser.parse_args(argv)
     cfg = _build_config(args)
 
@@ -107,6 +110,30 @@ def main(argv=None) -> int:
             "best_reached": float(result.best_reached),
             "n_candidates": int(result.scores.shape[0]),
         }))
+        return 0
+
+    if args.cmd == "viz":
+        from ndivplanning_tpu.data.scenes import random_scene
+        from ndivplanning_tpu.planning.planner import plan
+        from ndivplanning_tpu.planning.server import _condition_for
+        from ndivplanning_tpu.train.state import create_train_state
+        from ndivplanning_tpu.utils import checkpoint as ckpt
+        from ndivplanning_tpu.utils.viz import plot_trajectories
+
+        state = create_train_state(cfg)
+        restored = ckpt.restore_latest(cfg.workdir, state)
+        if restored is not None:
+            state = restored
+        scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
+        condition = _condition_for(cfg, scene)
+        result = plan(cfg, state, scene, condition,
+                      jax.random.PRNGKey(cfg.seed + 4), n_diverse=8)
+        plot_trajectories(scene, result.taus[result.diverse_idx],
+                          result.scores[result.diverse_idx], path=args.out,
+                          title=f"{cfg.name}: diverse top-8 of "
+                                f"{int(result.scores.shape[0])} candidates")
+        print(json.dumps({"out": args.out,
+                          "best_score": float(result.best_score)}))
         return 0
 
     if args.cmd == "serve":

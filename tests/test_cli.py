@@ -31,6 +31,16 @@ def test_plan_command(tmp_path, capsys):
     assert out["n_candidates"] == 1000
 
 
+def test_viz_command(tmp_path, capsys):
+    out = tmp_path / "plan.png"
+    rc = main(["viz", "--preset", "pointmass2d", "--batch-size", "4",
+               "--k", "4", "--workdir", str(tmp_path), "--out", str(out)])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["out"] == str(out)
+
+
 def test_bad_preset_raises():
     with pytest.raises(ValueError):
         main(["train", "--preset", "bogus"])
