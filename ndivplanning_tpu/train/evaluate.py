@@ -76,6 +76,11 @@ def evaluate(cfg: Config, state: TrainState, key: jax.Array,
         # Mode coverage (NDiv-paper-style): the unconditioned task's data
         # modes are 8 anchor goals on a circle around (.5,.5); coverage =
         # fraction of angular bins hit by the k samples per condition.
+        # Interpretation ceiling: a PERFECTLY uniform generator drawing k
+        # samples over M modes expects 1-(1-1/M)^k — for k=8, M=8 that is
+        # ~0.656, which trained runs reach (benchmarks/
+        # convergence_results.json: 0.652); higher would mean the sampler
+        # anti-correlates modes within a draw, not better distribution fit.
         n_modes = 8
         ang = jnp.arctan2(endpoints[..., 1] - 0.5, endpoints[..., 0] - 0.5)
         # Bin CENTRES on the anchors (round, not floor): the anchors sit
