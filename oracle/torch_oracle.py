@@ -134,6 +134,85 @@ class TorchNDivGAN:
                 "g_ndiv": float(g_ndiv)}
 
 
+class ConvSceneEncoder(nn.Module):
+    """Conv scene encoder mirroring models/encoder.py::SceneEncoderCNN
+    (3x strided conv + dense head) for the image-conditioned config
+    (BASELINE.json:9)."""
+
+    def __init__(self, in_channels: int = 3, embed_dim: int = 64,
+                 features=(16, 32, 64), image_size: int = 32):
+        super().__init__()
+        layers: list[nn.Module] = []
+        c = in_channels
+        size = image_size
+        for f in features:
+            layers += [nn.Conv2d(c, f, 3, stride=2, padding=1), nn.ReLU()]
+            c = f
+            size = (size + 1) // 2
+        self.conv = nn.Sequential(*layers)
+        self.head = nn.Linear(c * size * size, embed_dim)
+
+    def forward(self, images):  # [B, H, W, C] (channels-last like the JAX side)
+        x = images.permute(0, 3, 1, 2)
+        x = self.conv(x)
+        return self.head(x.flatten(1))
+
+
+class TorchImageNDivGAN(TorchNDivGAN):
+    """Image-conditioned oracle: conv encoder + trajectory decoder head.
+
+    The CPU wall-clock stand-in for the imagecond workload; shares the
+    NDiv-GAN training semantics of TorchNDivGAN with the raw condition
+    being an occupancy image encoded per-network.
+    """
+
+    def __init__(self, image_size: int = 32, embed_dim: int = 64,
+                 latent_dim: int = 2, traj_dim: int = 64,
+                 hidden=(256, 256), alpha: float = 0.8,
+                 ndiv_weight: float = 1.0, lr: float = 1e-3, seed: int = 0):
+        super().__init__(cond_dim=embed_dim, latent_dim=latent_dim,
+                         traj_dim=traj_dim, hidden=hidden, alpha=alpha,
+                         ndiv_weight=ndiv_weight, lr=lr, seed=seed)
+        torch.manual_seed(seed + 1)
+        self.g_encoder = ConvSceneEncoder(embed_dim=embed_dim,
+                                          image_size=image_size)
+        self.d_encoder = ConvSceneEncoder(embed_dim=embed_dim,
+                                          image_size=image_size)
+        self.opt_g.add_param_group({"params": self.g_encoder.parameters()})
+        self.opt_d.add_param_group({"params": self.d_encoder.parameters()})
+
+    def train_step_images(self, images: torch.Tensor, real: torch.Tensor,
+                          k: int) -> dict[str, float]:
+        b = images.shape[0]
+        z = torch.randn(b, k, self.latent_dim)
+        g_cond = self.g_encoder(images)
+        fake = self.generate(g_cond, z)
+
+        d_cond = self.d_encoder(images)
+        c_flat = d_cond.unsqueeze(1).expand(b, k, self.cond_dim)
+        d_real = self.disc(torch.cat([d_cond, real], dim=-1))
+        d_fake = self.disc(
+            torch.cat([c_flat, fake.detach()], dim=-1).reshape(b * k, -1))
+        d_loss = self.bce(d_real, torch.ones_like(d_real)) + self.bce(
+            d_fake, torch.zeros_like(d_fake))
+        self.opt_d.zero_grad()
+        d_loss.backward()
+        self.opt_d.step()
+
+        d_cond = self.d_encoder(images).detach()
+        c_flat = d_cond.unsqueeze(1).expand(b, k, self.cond_dim)
+        d_fake_g = self.disc(
+            torch.cat([c_flat, fake], dim=-1).reshape(b * k, -1))
+        g_adv = self.bce(d_fake_g, torch.ones_like(d_fake_g))
+        g_ndiv = ndiv_loss_torch(z, fake, self.alpha)
+        g_loss = g_adv + self.ndiv_weight * g_ndiv
+        self.opt_g.zero_grad()
+        g_loss.backward()
+        self.opt_g.step()
+        return {"d_loss": float(d_loss), "g_adv": float(g_adv),
+                "g_ndiv": float(g_ndiv)}
+
+
 def pointmass_step_py(pos, vel, action, dt=0.1, max_speed=2.0,
                       bounds=(0.0, 1.0)):
     """Plain-Python/torch twin of the functional env step (tests/test_env)."""
