@@ -37,10 +37,12 @@ def plot_scene(ax, scene) -> None:
 
 
 def plot_trajectories(scene, taus, scores=None, path: str | None = None,
-                      title: str = ""):
+                      title: str = "", highlight=None):
     """Plot candidate trajectories ``taus: [N, H, 2]`` over a scene.
 
     If ``scores`` is given, colors run best (dark) to worst (light).
+    ``highlight``: optional single ``[H, 2]`` trajectory drawn bold on
+    top (e.g. the planner's best candidate).
     Returns the figure; saves to ``path`` if given.
     """
     plt = _mpl()
@@ -53,10 +55,15 @@ def plot_trajectories(scene, taus, scores=None, path: str | None = None,
         colors = plt.cm.viridis(np.linspace(0, 0.9, n))
         for rank, i in enumerate(order[::-1]):  # worst first, best on top
             ax.plot(taus[i, :, 0], taus[i, :, 1], "-",
-                    color=colors[n - 1 - rank], lw=1, alpha=0.8)
+                    color=colors[n - 1 - rank], lw=1, alpha=0.6)
     else:
         for i in range(n):
-            ax.plot(taus[i, :, 0], taus[i, :, 1], "-", lw=1, alpha=0.7)
+            ax.plot(taus[i, :, 0], taus[i, :, 1], "-", lw=1, alpha=0.6)
+    if highlight is not None:
+        h = np.asarray(highlight)
+        ax.plot(h[:, 0], h[:, 1], "-", color="crimson", lw=2.5,
+                label="best")
+        ax.legend(loc="lower right")
     ax.set_title(title)
     if path:
         fig.savefig(path, dpi=120, bbox_inches="tight")
