@@ -79,17 +79,34 @@ def bench_torch_cpu():
     t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=3, warmup=1)
 
     # Rollout: per-candidate Python loop (the reference's §3.3 shape).
-    from oracle.torch_oracle import pointmass_step_py
+    # Same per-step work as the TPU score_candidates path: PD control,
+    # clamped dynamics, swept obstacle collision, goal distance/done
+    # latch, control cost.
+    from oracle.torch_oracle import pointmass_step_py, segment_hits_disc_py
 
     taus = torch.rand(50, ROLL_H, 2)  # 50 candidates timed, scaled to 1k
+    goal = torch.tensor([0.9, 0.9])
+    obstacle_c = torch.tensor([0.5, 0.5])
+    obstacle_r = 0.1
 
     def rollouts():
         for i in range(taus.shape[0]):
             pos = torch.tensor([0.1, 0.1])
             vel = torch.zeros(2)
+            collided = done = False
+            ctrl_cost = 0.0
             for t in range(ROLL_H):
+                if done:
+                    continue
                 a = 8.0 * (taus[i, t] - pos) - 2.0 * vel
+                prev = pos
                 pos, vel = pointmass_step_py(pos, vel, a)
+                if segment_hits_disc_py(prev, pos, obstacle_c, obstacle_r):
+                    collided = True
+                delta = pos - goal
+                ctrl_cost += float((a.clamp(-4, 4) ** 2).sum())
+                if float((delta * delta).sum()) ** 0.5 < 0.05:
+                    done = True
 
     t_roll_50 = _time_it(rollouts, n_iters=1, warmup=1)
     return {

@@ -54,7 +54,8 @@ def main() -> None:
     out = os.path.join(workdir, "plan.png")
     plot_trajectories(scene, result.taus[result.diverse_idx],
                       result.scores[result.diverse_idx], path=out,
-                      title="diverse top-8 planned trajectories")
+                      title="diverse top-8 planned trajectories",
+                      highlight=result.best_traj)
     print(f"wrote {out} and {workdir}/losses.png")
 
 

@@ -46,6 +46,16 @@ def _build_config(args):
     return get_config(args.preset, **overrides)
 
 
+def _load_state(cfg):
+    """Fresh state, replaced by the latest workdir checkpoint if present."""
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+
+    state = create_train_state(cfg)
+    restored = ckpt.restore_latest(cfg.workdir, state)
+    return restored if restored is not None else state
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -79,13 +89,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "eval":
         from ndivplanning_tpu.train.evaluate import evaluate
-        from ndivplanning_tpu.train.state import create_train_state
-        from ndivplanning_tpu.utils import checkpoint as ckpt
 
-        state = create_train_state(cfg)
-        restored = ckpt.restore_latest(cfg.workdir, state)
-        if restored is not None:
-            state = restored
+        state = _load_state(cfg)
         out = evaluate(cfg, state, jax.random.PRNGKey(cfg.seed + 2))
         print(json.dumps({k: float(v) for k, v in out.items()}))
         return 0
@@ -94,13 +99,8 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.data.scenes import random_scene
         from ndivplanning_tpu.planning.planner import plan
         from ndivplanning_tpu.planning.server import _condition_for
-        from ndivplanning_tpu.train.state import create_train_state
-        from ndivplanning_tpu.utils import checkpoint as ckpt
 
-        state = create_train_state(cfg)
-        restored = ckpt.restore_latest(cfg.workdir, state)
-        if restored is not None:
-            state = restored
+        state = _load_state(cfg)
         scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
         condition = _condition_for(cfg, scene)
         result = plan(cfg, state, scene, condition,
@@ -116,14 +116,9 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.data.scenes import random_scene
         from ndivplanning_tpu.planning.planner import plan
         from ndivplanning_tpu.planning.server import _condition_for
-        from ndivplanning_tpu.train.state import create_train_state
-        from ndivplanning_tpu.utils import checkpoint as ckpt
         from ndivplanning_tpu.utils.viz import plot_trajectories
 
-        state = create_train_state(cfg)
-        restored = ckpt.restore_latest(cfg.workdir, state)
-        if restored is not None:
-            state = restored
+        state = _load_state(cfg)
         scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
         condition = _condition_for(cfg, scene)
         result = plan(cfg, state, scene, condition,
@@ -131,20 +126,16 @@ def main(argv=None) -> int:
         plot_trajectories(scene, result.taus[result.diverse_idx],
                           result.scores[result.diverse_idx], path=args.out,
                           title=f"{cfg.name}: diverse top-8 of "
-                                f"{int(result.scores.shape[0])} candidates")
+                                f"{int(result.scores.shape[0])} candidates",
+                          highlight=result.best_traj)
         print(json.dumps({"out": args.out,
                           "best_score": float(result.best_score)}))
         return 0
 
     if args.cmd == "serve":
         from ndivplanning_tpu.planning.server import serve
-        from ndivplanning_tpu.train.state import create_train_state
-        from ndivplanning_tpu.utils import checkpoint as ckpt
 
-        state = create_train_state(cfg)
-        restored = ckpt.restore_latest(cfg.workdir, state)
-        if restored is not None:
-            state = restored
+        state = _load_state(cfg)
         served = serve(cfg, state)
         print(json.dumps({"served": served}))
         return 0

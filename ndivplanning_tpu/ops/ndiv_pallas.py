@@ -245,18 +245,20 @@ def _fused_available(k: int) -> bool:
     return 2 <= k and _round_up(k, _SUBLANE) <= _MAX_KP
 
 
-# Kernel variant: "block" (per-block batched Grams, default) or "packed"
-# (one [R, R] Gram + block-diagonal mask).  Module-level so benchmarks can
-# flip it; both are parity-tested.
+# Default kernel variant: "block" (per-block batched Grams) or "packed"
+# (one [R, R] Gram + block-diagonal mask).  Select per-call with the
+# explicit ``variant`` argument — it is a static argument, so it keys the
+# jit cache correctly (a mutable global would not retrigger compilation).
 VARIANT = "block"
 
 
-def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
+             variant: str) -> jnp.ndarray:
     """Sum of hinge terms over all conditions/pairs (division by M on host)."""
     *lead, k, dz_dim = z.shape
     dx_dim = x.shape[-1]
     batch = math.prod(lead)
-    if VARIANT == "block":
+    if variant == "block":
         kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
         kernel = functools.partial(_fwd_kernel_block, kp=kp, k=k, tb=tb,
                                    alpha=float(alpha))
@@ -290,12 +292,12 @@ def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
 
 
 def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
-               g: jnp.ndarray):
+               g: jnp.ndarray, variant: str):
     *lead, k, dz_dim = z.shape
     dx_dim = x.shape[-1]
     batch = math.prod(lead)
     m = batch * k * (k - 1)
-    if VARIANT == "block":
+    if variant == "block":
         kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
         kernel = functools.partial(_bwd_kernel_block, kp=kp, k=k, tb=tb,
                                    alpha=float(alpha), inv_m=1.0 / m)
@@ -342,34 +344,25 @@ def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
     return unpack(dz2, dz_dim, z.dtype), unpack(dx2, dx_dim, x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray,
-                    alpha: float = 0.8) -> jnp.ndarray:
-    """NDiv hinge loss via the fused Pallas kernel.
-
-    Args / semantics identical to :func:`ndivplanning_tpu.ops.ndiv.
-    ndiv_loss_reference`; parity-tested against it (tests/test_ndiv_pallas.py).
-    Falls back to the jnp path for unsupported shapes (k < 2 handled there,
-    kp > _MAX_KP).
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
+                     variant: str) -> jnp.ndarray:
     k = z.shape[-2]
     if not _fused_available(k):
         from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
 
         return ndiv_loss_reference(z, x, alpha)
     *lead, k, _ = z.shape
-    batch = 1
-    for n in lead:
-        batch *= n
+    batch = math.prod(lead)
     m = batch * k * (k - 1)
-    return _fwd_sum(z, x, alpha) / m
+    return _fwd_sum(z, x, alpha, variant) / m
 
 
-def _vjp_fwd(z, x, alpha):
-    return ndiv_loss_fused(z, x, alpha), (z, x)
+def _vjp_fwd(z, x, alpha, variant):
+    return _ndiv_loss_fused(z, x, alpha, variant), (z, x)
 
 
-def _vjp_bwd(alpha, residuals, g):
+def _vjp_bwd(alpha, variant, residuals, g):
     z, x = residuals
     k = z.shape[-2]
     if not _fused_available(k):
@@ -379,7 +372,24 @@ def _vjp_bwd(alpha, residuals, g):
             lambda zz, xx: ndiv_loss_reference(zz, xx, alpha), argnums=(0, 1)
         )(z, x)
         return dz * g, dx * g
-    return _bwd_grads(z, x, alpha, g)
+    return _bwd_grads(z, x, alpha, g, variant)
 
 
-ndiv_loss_fused.defvjp(_vjp_fwd, _vjp_bwd)
+_ndiv_loss_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray, alpha: float = 0.8,
+                    variant: str | None = None) -> jnp.ndarray:
+    """NDiv hinge loss via the fused Pallas kernel.
+
+    Args / semantics identical to :func:`ndivplanning_tpu.ops.ndiv.
+    ndiv_loss_reference`; parity-tested against it (tests/test_ndiv_pallas.py).
+    Falls back to the jnp path for unsupported shapes (k < 2 handled there,
+    kp > _MAX_KP).  ``variant`` selects the kernel layout ("block" default
+    / "packed") as a static argument, so it participates in jit caches.
+    """
+    if z.shape[:-1] != x.shape[:-1]:
+        raise ValueError(
+            f"z and x must agree on leading/k dims, got {z.shape} vs {x.shape}"
+        )
+    return _ndiv_loss_fused(z, x, alpha, VARIANT if variant is None else variant)

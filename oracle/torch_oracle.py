@@ -214,9 +214,14 @@ class TorchImageNDivGAN(TorchNDivGAN):
 
 
 def pointmass_step_py(pos, vel, action, dt=0.1, max_speed=2.0,
-                      bounds=(0.0, 1.0)):
-    """Plain-Python/torch twin of the functional env step (tests/test_env)."""
-    vel = vel + action * dt
+                      max_accel=4.0, bounds=(0.0, 1.0)):
+    """Plain-Python/torch twin of the functional env step (tests/test_env).
+
+    Mirrors envs/pointmass.py: acceleration clamp, speed clip, absorbing
+    walls.
+    """
+    a = torch.clamp(action, -max_accel, max_accel)
+    vel = vel + a * dt
     speed = math.sqrt(float((vel * vel).sum()))
     if speed > max_speed:
         vel = vel * (max_speed / speed)
@@ -226,3 +231,14 @@ def pointmass_step_py(pos, vel, action, dt=0.1, max_speed=2.0,
     # walls absorb: zero the velocity component that hit
     vel = torch.where(clipped == pos, vel, torch.zeros_like(vel))
     return clipped, vel
+
+
+def segment_hits_disc_py(a, b, centre, radius) -> bool:
+    """Swept segment-vs-disc check mirroring envs/pointmass.py::_collision."""
+    d = b - a
+    len2 = float((d * d).sum())
+    t = 0.0 if len2 < 1e-12 else float(((centre - a) * d).sum()) / len2
+    t = min(max(t, 0.0), 1.0)
+    closest = a + t * d
+    delta = centre - closest
+    return float((delta * delta).sum()) < float(radius) ** 2

@@ -72,6 +72,13 @@ def test_degenerate_identical_samples_finite():
     assert np.all(np.isfinite(np.asarray(gx)))
 
 
+def test_fused_rejects_mismatched_leading_dims():
+    import pytest
+
+    with pytest.raises(ValueError):
+        ndiv_loss_fused(jnp.ones((2, 3, 8, 2)), jnp.ones((3, 2, 8, 4)), 0.8)
+
+
 def test_front_door_impl_switch():
     z, x = _case(42, 2, 8, 2, 8)
     a = float(ndiv_loss(z, x, impl="jnp"))
@@ -88,21 +95,16 @@ def test_both_kernel_variants_parity():
     want = float(ndiv_loss_reference(z, x, 0.8))
     ref_g = jax.grad(lambda a, b: ndiv_loss_reference(a, b, 0.8),
                      argnums=(0, 1))(z, x)
-    orig = ndiv_pallas.VARIANT
-    try:
-        for variant in ("block", "packed"):
-            ndiv_pallas.VARIANT = variant
-            got = float(ndiv_loss_fused(z, x, 0.8))
-            np.testing.assert_allclose(got, want, rtol=1e-5,
-                                       err_msg=variant)
-            g = jax.grad(lambda a, b: ndiv_loss_fused(a, b, 0.8),
-                         argnums=(0, 1))(z, x)
-            np.testing.assert_allclose(np.asarray(g[0]), np.asarray(ref_g[0]),
-                                       rtol=1e-4, atol=1e-6, err_msg=variant)
-            np.testing.assert_allclose(np.asarray(g[1]), np.asarray(ref_g[1]),
-                                       rtol=1e-4, atol=1e-6, err_msg=variant)
-    finally:
-        ndiv_pallas.VARIANT = orig
+    del ndiv_pallas  # variant is an explicit static argument
+    for variant in ("block", "packed"):
+        got = float(ndiv_loss_fused(z, x, 0.8, variant=variant))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=variant)
+        g = jax.grad(lambda a, b: ndiv_loss_fused(a, b, 0.8, variant=variant),
+                     argnums=(0, 1))(z, x)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(ref_g[0]),
+                                   rtol=1e-4, atol=1e-6, err_msg=variant)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(ref_g[1]),
+                                   rtol=1e-4, atol=1e-6, err_msg=variant)
 
 
 def test_random_shape_sweep_parity():

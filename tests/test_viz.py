@@ -1,6 +1,9 @@
 """Visualisation smoke tests (Agg backend, no display)."""
 
 import numpy as np
+import pytest
+
+pytest.importorskip("matplotlib")
 
 from ndivplanning_tpu.envs.types import Scene
 from ndivplanning_tpu.utils.viz import plot_loss_curves, plot_trajectories
