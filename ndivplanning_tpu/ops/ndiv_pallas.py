@@ -53,7 +53,9 @@ _SUBLANE = 8  # float32 sublane granularity
 # becomes independent of the row-tile size, so the tile can grow to
 # amortise grid overhead.  The NDiv loss is ~half the pod-config train
 # step, so this matters (benchmarks/ndiv_kernel_results.json).
-_BLOCK_ROW_TILE_TARGET = 1024
+# 2048 won the on-TPU tile sweep at both k=8 and k=32 (153/186 us vs
+# 209/199 at 1024); VMEM stays well under budget (~8 MB peak).
+_BLOCK_ROW_TILE_TARGET = 2048
 
 
 def _round_up(n: int, m: int) -> int:
