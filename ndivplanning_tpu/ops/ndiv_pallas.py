@@ -53,9 +53,12 @@ _SUBLANE = 8  # float32 sublane granularity
 # becomes independent of the row-tile size, so the tile can grow to
 # amortise grid overhead.  The NDiv loss is ~half the pod-config train
 # step, so this matters (benchmarks/ndiv_kernel_results.json).
-# 2048 won the on-TPU tile sweep at both k=8 and k=32 (153/186 us vs
-# 209/199 at 1024); VMEM stays well under budget (~8 MB peak).
-_BLOCK_ROW_TILE_TARGET = 2048
+# Tile-size note: 2048 rows timed ~10-25% faster in a micro-sweep but the
+# BACKWARD kernel's simultaneous intermediates (two distance/normalised
+# matrices + W + row sums + in/out tiles, double-buffered) hit 18.7 MB of
+# scoped VMEM > the 16 MB budget and fail to compile at scale; 1024 peaks
+# ~9 MB and is proven at every workload shape.
+_BLOCK_ROW_TILE_TARGET = 1024
 
 
 def _round_up(n: int, m: int) -> int:
