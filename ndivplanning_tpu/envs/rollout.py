@@ -56,8 +56,16 @@ def _pd_control(pos, vel, target, kp=8.0, kd=2.0):
 
 
 def _rollout_scan(params: EnvParams, scene: Scene, tau: jnp.ndarray,
-                  mode: str, weights: ScoreWeights) -> RolloutResult:
-    state0 = reset(params, scene)
+                  mode: str, weights: ScoreWeights,
+                  state0: EnvState | None = None) -> RolloutResult:
+    """Roll ``tau`` through the env from ``state0`` (default: reset).
+
+    The explicit-start form is what receding-horizon replanning uses
+    (planning/mpc.py): candidates are scored from the CURRENT state, not
+    from the scene's start.
+    """
+    if state0 is None:
+        state0 = reset(params, scene)
 
     def body(state, tau_t):
         if mode == "actions":
