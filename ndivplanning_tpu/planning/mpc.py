@@ -38,15 +38,25 @@ class MPCResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_candidates", "weights")
+    jax.jit, static_argnames=("cfg", "n_candidates", "weights", "offset")
 )
 def _replan(cfg: Config, gen_state: TrainState, scene: Scene,
             condition: jnp.ndarray, env_state: EnvState, key: jax.Array,
-            n_candidates: int, weights: ScoreWeights) -> jnp.ndarray:
-    """One replanning cycle: best candidate trajectory from env_state."""
+            n_candidates: int, weights: ScoreWeights,
+            offset: int) -> jnp.ndarray:
+    """One replanning cycle: best candidate's REMAINING waypoints.
+
+    Candidates are full-horizon trajectories; at episode time ``offset``
+    only their tail ``tau[offset:]`` is still ahead of us, so scoring and
+    execution both use that slice (scoring the full trajectory from the
+    current state while executing the tail was measurably worse —
+    misaligned waypoints pull the controller backwards).  ``offset`` is
+    static: one compiled program per replanning phase.
+    """
     gen, _ = build_models(cfg)
     z = jax.random.normal(key, (1, n_candidates, cfg.latent_dim))
     taus = gen.apply(gen_state.g_params, condition[None], z)[0]  # [N, H, S]
+    taus = taus[:, min(offset, taus.shape[1] - 1):, :]
     params = EnvParams.create()
     results = jax.vmap(
         lambda t: _rollout_scan(params, scene, t, cfg.rollout_mode, weights,
@@ -77,11 +87,10 @@ def mpc_rollout(cfg: Config, gen_state: TrainState, scene: Scene,
     for t0 in range(0, total_steps, replan_every):
         key, k_plan = jax.random.split(key)
         tau = _replan(cfg, gen_state, scene, condition, env_state, k_plan,
-                      n_candidates, weights)
+                      n_candidates, weights, offset=t0)
         n_replans += 1
-        # Execute the slice of the winning trajectory aligned to the
-        # current timestep (waypoints are absolute in episode time).
-        for t in range(t0, min(t0 + replan_every, total_steps)):
+        # Execute the head of the winning remaining-waypoint slice.
+        for t in range(min(replan_every, total_steps - t0)):
             wp = tau[min(t, tau.shape[0] - 1)]
             if cfg.rollout_mode == "waypoints":
                 a = _pd_control(env_state.pos, env_state.vel, wp)
