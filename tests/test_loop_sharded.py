@@ -16,7 +16,7 @@ def test_pod_loop_end_to_end(tmp_path):
         "pod_dp", dp_shards=2, div_shards=2, batch_size=8, k=4,
         g_hidden=(32,), d_hidden=(32,), cond_embed_dim=8,
         workdir=str(tmp_path), steps=6, log_every=3, checkpoint_every=6,
-        eval_every=0,
+        eval_every=3,
     )
     state, history = train(cfg, echo=False)
     assert int(state.step) == 6

@@ -115,6 +115,33 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
                                float(m2["g_ndiv"][-1]), rtol=1e-5)
 
 
+def test_plan_batch_shards_over_dp():
+    # Scene-batched planning under an explicit dp sharding: the program
+    # compiles and executes with the scene axis distributed.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ndivplanning_tpu.data.scenes import random_scene_batch
+    from ndivplanning_tpu.planning.planner import plan_batch
+
+    cfg = get_config("pod_dp", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, n_candidates=16,
+                     conditioning="startgoal")
+    state = create_train_state(cfg)
+    mesh = make_mesh(dp=8, div=1)
+    scenes = random_scene_batch(jax.random.PRNGKey(0), 8)
+    conditions = jnp.concatenate([scenes.start, scenes.goal], axis=-1)
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+
+    sharding = NamedSharding(mesh, P("dp"))
+    scenes = jax.device_put(scenes, sharding)
+    conditions = jax.device_put(conditions, sharding)
+    keys = jax.device_put(keys, sharding)
+    result = plan_batch(cfg, state, scenes, conditions, keys,
+                        n_candidates=16, n_diverse=4)
+    assert result.best_traj.shape == (8, cfg.horizon, cfg.state_dim)
+    assert np.all(np.isfinite(np.asarray(result.best_score)))
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(dp=64, div=2)
