@@ -104,7 +104,7 @@ def bench_torch_cpu():
                 if segment_hits_disc_py(prev, pos, obstacle_c, obstacle_r):
                     collided = True
                 delta = pos - goal
-                ctrl_cost += float((a.clamp(-4, 4) ** 2).sum())
+                ctrl_cost += float((a ** 2).sum())  # raw PD action, as TPU side
                 if float((delta * delta).sum()) ** 0.5 < 0.05:
                     done = True
 

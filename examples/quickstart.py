@@ -37,9 +37,11 @@ def main() -> None:
         log_every=100,
     )
 
-    # 1. Train (restores + resumes automatically if workdir has a checkpoint).
+    # 1. Train (restores + resumes automatically if workdir has a checkpoint;
+    #    an already-finished run yields no new history rows).
     state, history = train(cfg)
-    plot_loss_curves(history, path=os.path.join(workdir, "losses.png"))
+    if history:
+        plot_loss_curves(history, path=os.path.join(workdir, "losses.png"))
 
     # 2. Plan: 1000 candidate trajectories through a random scene,
     #    scored sim-in-the-loop, best + diverse top-8 selected.

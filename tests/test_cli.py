@@ -32,6 +32,7 @@ def test_plan_command(tmp_path, capsys):
 
 
 def test_viz_command(tmp_path, capsys):
+    pytest.importorskip("matplotlib")
     out = tmp_path / "plan.png"
     rc = main(["viz", "--preset", "pointmass2d", "--batch-size", "4",
                "--k", "4", "--workdir", str(tmp_path), "--out", str(out)])
