@@ -103,10 +103,13 @@ PRESETS = {
         latent_dim=2, n_candidates=1000, generator_output="sigmoid",
     ),
     # 5. "Pod-scale data-parallel NDiv-GAN: v5p-8 mesh, global batch 8k,
-    #     k=32 diversity samples"
+    #     k=32 diversity samples" — bf16 compute by default: the
+    #     throughput config rides the MXU's native dtype (1.42x measured,
+    #     quality-comparable; BASELINE.md).
     "pod_dp": Config(
         name="pod_dp", conditioning="startgoal", batch_size=8192, k=32,
         latent_dim=2, dp_shards=8, generator_output="sigmoid",
+        compute_dtype="bf16",
     ),
 }
 
