@@ -71,7 +71,8 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None,
         )
         state = state.replace(rng=rng)
         new_state, metrics = train_step_impl(cfg, state, batch,
-                                             z_sharding=z_sharding)
+                                             z_sharding=z_sharding,
+                                             mesh=mesh)
         new_state = jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(a, replicated),
             new_state,
@@ -87,17 +88,36 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh | None = None,
 
 
 def ndiv_loss_sharded(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
-                      mesh: Mesh) -> jnp.ndarray:
+                      mesh: Mesh, impl: str = "jnp") -> jnp.ndarray:
     """NDiv loss with k sharded over the ``div`` axis and batch over ``dp``.
 
     Semantics identical to ``ndiv_loss_reference`` on the unsharded
     arrays (tests/test_parallel.py::test_sharded_ndiv_matches_reference).
 
-    Per-shard work: all_gather columns, compute local-row slice of both
-    distance matrices, row-normalise (full row available), hinge, psum.
+    Two shard-local compute strategies (SURVEY.md §5 comm-backend bullet
+    3: "all_gather the [k_local, d] blocks ... then run the fused Pallas
+    kernel on the gathered block, psum the scalar loss"):
+
+    ``impl="jnp"``     — each shard computes ONLY its own rows of the
+                         pairwise/hinge matrices in jnp (row-slice split
+                         over ``div``).
+    ``impl="pallas"``  — each shard runs the fused Pallas kernel
+                         (``ops/ndiv_pallas.py``) on a distinct slice of
+                         the gathered *conditions* (the k×k math is
+                         block-diagonal per condition, so a batch split
+                         is exact) and psums the hinge sum.  This is the
+                         production multi-chip path: GSPMD cannot
+                         partition an opaque ``pallas_call``, but inside
+                         ``shard_map`` the kernel sees plain local
+                         arrays.
+
+    Both end in the same psum over (dp, div) and division by the global
+    pair count, so the result equals the unsharded loss.
     """
     b, k = z.shape[0], z.shape[1]
     m = b * k * (k - 1)
+    if impl == "pallas":
+        return _ndiv_sharded_pallas(z, x, alpha, mesh, m)
 
     def local(z_loc, x_loc):
         # z_loc: [b_local, k_local, dz]; gather full k on our dp slice.
@@ -145,3 +165,54 @@ def ndiv_loss_sharded(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
         out_specs=P(),
     )
     return fn(z, x)
+
+
+def _ndiv_sharded_pallas_shardmap(local, mesh):
+    # check_vma=False: pallas_call does not declare how its outputs vary
+    # across mesh axes, so shard_map's replication checker cannot verify
+    # the body — the trailing psum makes the output replicated by
+    # construction.
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, DIV_AXIS, None), P(DP_AXIS, DIV_AXIS, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def _ndiv_sharded_pallas(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
+                         mesh: Mesh, m: int) -> jnp.ndarray:
+    """Fused-kernel shard-local NDiv: gather k over ``div``, split the
+    gathered conditions across ``div`` shards, kernel per slice, psum."""
+    from ndivplanning_tpu.ops.ndiv_pallas import ndiv_loss_fused
+
+    div = mesh.shape[DIV_AXIS]
+    k = z.shape[1]
+
+    def local(z_loc, x_loc):
+        # [b_local, k_local, d] -> [b_local, k, d]: the diversity gather.
+        z_full = jax.lax.all_gather(z_loc, DIV_AXIS, axis=1, tiled=True)
+        x_full = jax.lax.all_gather(x_loc, DIV_AXIS, axis=1, tiled=True)
+
+        # The k×k math is block-diagonal per condition, so dividing the
+        # gathered batch across the div shards is exact (no cross-shard
+        # pairs are lost).  Zero-padded conditions contribute zero hinge
+        # and zero gradient (all-zero rows normalise to 0).
+        bl = z_full.shape[0]
+        chunk = -(-bl // div)
+        pad = chunk * div - bl
+        if pad:
+            z_full = jnp.pad(z_full, ((0, pad), (0, 0), (0, 0)))
+            x_full = jnp.pad(x_full, ((0, pad), (0, 0), (0, 0)))
+        start = jax.lax.axis_index(DIV_AXIS) * chunk
+        z_my = jax.lax.dynamic_slice_in_dim(z_full, start, chunk, axis=0)
+        x_my = jax.lax.dynamic_slice_in_dim(x_full, start, chunk, axis=0)
+
+        # The kernel returns mean over its local pair count; rescale to
+        # the raw hinge sum (linear, so the custom VJP scales correctly).
+        m_local = chunk * k * (k - 1)
+        partial = ndiv_loss_fused(z_my, x_my, alpha) * m_local
+        return jax.lax.psum(partial, (DP_AXIS, DIV_AXIS)) / m
+
+    return _ndiv_sharded_pallas_shardmap(local, mesh)(z, x)

@@ -30,37 +30,57 @@ from ndivplanning_tpu.train.state import (
 from ndivplanning_tpu.utils.config import Config
 
 
-def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray,
+          mesh=None) -> jnp.ndarray:
     """NDiv loss on [B, k, ...] latents/trajectories per the config impl.
 
-    Multi-device configs default to the jnp path: XLA's SPMD partitioner
-    shards it like any other op (inserting the diversity all-gather
-    itself), whereas a ``pallas_call`` inside a GSPMD program is an
-    opaque custom call the partitioner cannot split.  ``impl="pallas"``
-    still forces the kernel (for single-chip-per-replica layouts).
+    Dispatch (cfg.ndiv_impl: "auto" | "pallas" | "jnp"):
+
+    - "jnp": pure-jnp reference everywhere; on multi-device meshes XLA's
+      SPMD partitioner shards it like any other op.
+    - single-device: fused Pallas kernel on TPU, jnp elsewhere (the
+      kernel's interpret mode is correct on CPU but slow).
+    - multi-device with ``mesh``: the shard_map fused path — GSPMD cannot
+      partition an opaque ``pallas_call``, but ``ndiv_loss_sharded(...,
+      impl="pallas")`` runs the kernel on shard-local blocks with
+      explicit all_gather/psum (SURVEY.md §5).  Engaged by default on
+      TPU; ``impl="pallas"`` forces it on any backend.
+    - multi-device without a mesh handle: jnp fallback under GSPMD.
     """
     b, k = z.shape[:2]
     x = traj.reshape(b, k, -1)
     if cfg.ndiv_impl == "jnp":
         return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
+    multi_device = cfg.dp_shards * cfg.div_shards > 1
+    if multi_device:
+        if mesh is not None and (
+            cfg.ndiv_impl == "pallas" or jax.default_backend() == "tpu"
+        ):
+            from ndivplanning_tpu.parallel.sharded_step import (
+                ndiv_loss_sharded,
+            )
+
+            return ndiv_loss_sharded(z, x, cfg.ndiv_alpha, mesh,
+                                     impl="pallas")
+        return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
     from ndivplanning_tpu.ops import ndiv_pallas
 
-    if cfg.ndiv_impl == "pallas":
-        return ndiv_pallas.ndiv_loss_fused(z, x, cfg.ndiv_alpha)
-    multi_device = cfg.dp_shards * cfg.div_shards > 1
-    if jax.default_backend() == "tpu" and not multi_device:
+    if cfg.ndiv_impl == "pallas" or jax.default_backend() == "tpu":
         return ndiv_pallas.ndiv_loss_fused(z, x, cfg.ndiv_alpha)
     return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
 
 
 def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
-                    z_sharding=None):
+                    z_sharding=None, mesh=None):
     """One G+D+NDiv update.  Pure; jit/shard_map-able.
 
     ``z_sharding``: optional ``jax.sharding.Sharding`` constraining the
     ``[B, k, zdim]`` latent draws — the diversity-sample-sharding hook
     (k over the ``div`` mesh axis, SURVEY.md §2 parallelism table); the
     generated trajectories inherit it through the generator.
+
+    ``mesh``: the device mesh, when running multi-chip — enables the
+    shard_map fused-kernel NDiv sub-region (see :func:`_ndiv`).
 
     Returns (new_state, metrics) with metrics a dict of f32 scalars.
     """
@@ -94,7 +114,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         tau = gen.apply(g_params, batch.conditions, z)
         fake_logits = disc.apply(d_params, batch.conditions, tau)
         adv = g_loss_fn_of(fake_logits)
-        ndiv = _ndiv(cfg, z, tau)
+        ndiv = _ndiv(cfg, z, tau, mesh=mesh)
         return adv + cfg.ndiv_weight * ndiv, (adv, ndiv)
 
     (g_total, (g_adv, g_ndiv)), g_grads = jax.value_and_grad(

@@ -41,6 +41,65 @@ def test_sharded_ndiv_matches_reference(dp, div):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("dp,div", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_ndiv_pallas_matches_reference(dp, div):
+    # The production multi-chip path: fused kernel on shard-local blocks
+    # (VERDICT round-1 missing #2) — values AND gradients vs reference.
+    mesh = make_mesh(dp=dp, div=div)
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(16, 8, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(16, 8, 64)).astype(np.float32))
+
+    want = float(ndiv_loss_reference(z, x, 0.8))
+    got = float(ndiv_loss_sharded(z, x, 0.8, mesh, impl="pallas"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    g_want = jax.grad(lambda a, b: ndiv_loss_reference(a, b, 0.8),
+                      argnums=(0, 1))(z, x)
+    g_got = jax.grad(
+        lambda a, b: ndiv_loss_sharded(a, b, 0.8, mesh, impl="pallas"),
+        argnums=(0, 1),
+    )(z, x)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_ndiv_pallas_ragged_batch():
+    # b_local=2 conditions over div=4 shards: chunk padding path.
+    mesh = make_mesh(dp=2, div=4)
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.normal(size=(6, 8, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(6, 8, 16)).astype(np.float32))
+    want = float(ndiv_loss_reference(z, x, 0.8))
+    got = float(ndiv_loss_sharded(z, x, 0.8, mesh, impl="pallas"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("dp,div", [(4, 2)])
+def test_sharded_step_pallas_ndiv_matches_single_device(dp, div):
+    # Full sharded train step with the fused-kernel NDiv sub-region
+    # forced on (interpret mode on CPU) vs the single-device step.
+    cfg_multi = _cfg(dp=dp, div=div, ndiv_impl="pallas")
+    cfg_single = _cfg(dp=1, div=1, ndiv_impl="pallas")
+
+    s1 = create_train_state(cfg_single)
+    for _ in range(2):
+        s1, m1 = train_step_fused(cfg_single, s1)
+
+    step_fn, mesh = make_sharded_train_step(cfg_multi)
+    s2 = shard_state(create_train_state(cfg_multi), mesh)
+    for _ in range(2):
+        s2, m2 = step_fn(s2)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k][-1]), rtol=1e-3,
+                                   atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
+
+
 @pytest.mark.parametrize("dp,div", [(4, 2), (8, 1)])
 def test_sharded_step_matches_single_device(dp, div):
     cfg_multi = _cfg(dp=dp, div=div)
