@@ -59,12 +59,25 @@ def _load_state(cfg):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "eval", "plan", "serve", "viz"):
+    for name in ("train", "eval", "plan", "serve", "viz", "record-data"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "viz":
             p.add_argument("--out", default="plan.png",
                            help="output PNG path")
+        if name == "record-data":
+            p.add_argument("--out", required=True, help="output .npz path")
+            p.add_argument("--n-examples", type=int, default=4096)
+        if name == "train":
+            p.add_argument("--dataset", default=None,
+                           help="train from a recorded .npz dataset "
+                                "(record-data) instead of the on-device "
+                                "task sampler")
+            p.add_argument("--epochs", type=int, default=1,
+                           help="epochs over --dataset")
+            p.add_argument("--eval-fraction", type=float, default=0.1,
+                           help="held-out fraction of --dataset used for "
+                                "honest eval (0 disables)")
     args = parser.parse_args(argv)
     cfg = _build_config(args)
 
@@ -72,6 +85,32 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.utils.profiling import enable_nan_debugging
 
         enable_nan_debugging(True)
+
+    if args.cmd == "record-data":
+        from ndivplanning_tpu.data.host_pipeline import record_dataset
+
+        stats = record_dataset(cfg, args.n_examples, args.out,
+                               seed=cfg.seed)
+        print(json.dumps({"out": args.out, **stats}))
+        return 0
+
+    if args.cmd == "train" and args.dataset:
+        from ndivplanning_tpu.data.host_pipeline import (
+            ArrayDataset,
+            train_eval_split,
+        )
+        from ndivplanning_tpu.train.loop import train_from_dataset
+
+        ds = ArrayDataset.from_npz(args.dataset)
+        eval_ds = None
+        if args.eval_fraction > 0:
+            ds, eval_ds = train_eval_split(ds, args.eval_fraction,
+                                           seed=cfg.seed)
+        state, last = train_from_dataset(
+            cfg, ds, num_epochs=args.epochs, workdir=cfg.workdir,
+            echo=True, eval_dataset=eval_ds)
+        print(json.dumps({"final_step": int(state.step), "last": last}))
+        return 0
 
     if args.cmd == "train":
         from ndivplanning_tpu.train.loop import train

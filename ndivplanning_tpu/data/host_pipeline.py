@@ -50,11 +50,12 @@ class ArrayDataset:
             yield {k: v[idx] for k, v in self.arrays.items()}
 
 
-def prefetch_to_device(iterator: Iterator[dict], buffer_size: int = 2,
-                       device=None) -> Iterator[dict]:
+def prefetch_to_device(iterator: Iterator, buffer_size: int = 2,
+                       device=None) -> Iterator:
     """Async H2D prefetch: a daemon thread stages ``buffer_size`` batches
-    onto the device ahead of the consumer (double buffering by default),
-    overlapping host batch prep + transfer with device compute.
+    (any pytree of host arrays) onto the device ahead of the consumer
+    (double buffering by default), overlapping host batch prep + transfer
+    with device compute.
 
     A producer-side failure (corrupt record, device OOM) is re-raised in
     the consumer rather than silently truncating the stream.
@@ -65,7 +66,7 @@ def prefetch_to_device(iterator: Iterator[dict], buffer_size: int = 2,
     def producer():
         try:
             for batch in iterator:
-                q.put({k: jax.device_put(v, device) for k, v in batch.items()})
+                q.put(jax.device_put(batch, device))
             q.put(sentinel)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
             q.put(e)
@@ -92,6 +93,56 @@ def epochs(dataset: ArrayDataset, batch_size: int, num_epochs: int,
     yield from prefetch_to_device(host_stream(), buffer_size=prefetch)
 
 
+def scenes_from_arrays(arrays: Mapping[str, np.ndarray], conditioning: str):
+    """Build a batched :class:`~ndivplanning_tpu.envs.types.Scene` pytree
+    (host numpy leaves) from dataset arrays.
+
+    Prefers the recorded ``scene_*`` ground truth (written by
+    :func:`record_dataset`).  For legacy datasets without scenes, a
+    start/goal-conditioned scene can be reconstructed exactly from the
+    conditions ONLY when the task is obstacle-free (the goalcond task);
+    anything else raises rather than silently evaluating against wrong
+    scenes.
+    """
+    from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
+
+    if "scene_start" in arrays:
+        return Scene(
+            start=np.asarray(arrays["scene_start"], np.float32),
+            goal=np.asarray(arrays["scene_goal"], np.float32),
+            obstacles=np.asarray(arrays["scene_obstacles"], np.float32),
+            obstacle_mask=np.asarray(arrays["scene_obstacle_mask"],
+                                     np.float32),
+        )
+    if conditioning == "startgoal":
+        c = np.asarray(arrays["conditions"], np.float32)
+        b = len(c)
+        return Scene(
+            start=c[:, :2],
+            goal=c[:, 2:4],
+            obstacles=np.zeros((b, MAX_OBSTACLES, 3), np.float32),
+            obstacle_mask=np.zeros((b, MAX_OBSTACLES), np.float32),
+        )
+    raise ValueError(
+        "dataset has no scene_* arrays and scenes cannot be reconstructed "
+        f"from conditioning={conditioning!r}; re-record with "
+        "record_dataset (which saves scene ground truth)"
+    )
+
+
+def train_eval_split(dataset: ArrayDataset, eval_fraction: float,
+                     *, seed: int = 0) -> tuple[ArrayDataset, ArrayDataset]:
+    """Deterministic shuffled split into (train, heldout-eval) datasets."""
+    if not 0.0 < eval_fraction < 1.0:
+        raise ValueError(f"eval_fraction must be in (0,1), got {eval_fraction}")
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(dataset.size)
+    n_eval = max(1, int(round(dataset.size * eval_fraction)))
+    ev, tr = order[:n_eval], order[n_eval:]
+    return (ArrayDataset({k: v[tr] for k, v in dataset.arrays.items()}),
+            ArrayDataset({k: v[ev] for k, v in dataset.arrays.items()}))
+
+
 def record_dataset(cfg, n_examples: int, path: str, *, seed: int = 0,
                    filter_collisions: bool = True) -> dict:
     """Record a dataset from the on-device task sampler to ``path`` (npz),
@@ -111,14 +162,23 @@ def record_dataset(cfg, n_examples: int, path: str, *, seed: int = 0,
     batch = task.sample(jax.random.PRNGKey(seed), n_examples)
     conditions = np.asarray(batch.conditions)
     trajs = np.asarray(batch.real_traj)
+    obstacles = np.asarray(batch.scenes.obstacles)
+    obstacle_mask = np.asarray(batch.scenes.obstacle_mask)
     if filter_collisions:
-        hit = collision_mask_host(
-            trajs,
-            np.asarray(batch.scenes.obstacles),
-            np.asarray(batch.scenes.obstacle_mask),
-        )
+        hit = collision_mask_host(trajs, obstacles, obstacle_mask)
         keep = hit == 0
     else:
         keep = np.ones(len(trajs), bool)
-    np.savez(path, conditions=conditions[keep], real_traj=trajs[keep])
+    # The scene ground truth rides along so a dataset-trained run can be
+    # honestly evaluated (rollout success/collision need the TRUE scenes,
+    # not reconstructions).
+    np.savez(
+        path,
+        conditions=conditions[keep],
+        real_traj=trajs[keep],
+        scene_start=np.asarray(batch.scenes.start)[keep],
+        scene_goal=np.asarray(batch.scenes.goal)[keep],
+        scene_obstacles=obstacles[keep],
+        scene_obstacle_mask=obstacle_mask[keep],
+    )
     return {"kept": int(keep.sum()), "dropped": int((~keep).sum())}

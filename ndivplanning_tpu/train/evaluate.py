@@ -29,11 +29,30 @@ from ndivplanning_tpu.utils.config import Config
 @functools.partial(jax.jit, static_argnames=("cfg", "eval_batch"))
 def evaluate(cfg: Config, state: TrainState, key: jax.Array,
              eval_batch: int = 64):
-    """Returns a dict of f32 scalars (see module docstring)."""
+    """Returns a dict of f32 scalars (see module docstring).
+
+    Samples a fresh batch from the synthetic task sampler; for a FIXED
+    evaluation set (held-out scenes, dataset slices, the frozen eval
+    suite) use :func:`evaluate_on_batch`.
+    """
     task = make_task(cfg)
     k_batch, k_z = jax.random.split(key)
     batch = task.sample(k_batch, eval_batch)
+    return _evaluate_impl(cfg, state, k_z, batch)
 
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def evaluate_on_batch(cfg: Config, state: TrainState, key: jax.Array,
+                      batch):
+    """Same metrics as :func:`evaluate` but on a CALLER-PROVIDED batch
+    (conditions + real scenes) — the honest-eval path for recorded
+    datasets and the frozen eval protocol: success/collision use the
+    batch's true scenes rather than freshly sampled ones."""
+    return _evaluate_impl(cfg, state, key, batch)
+
+
+def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch):
+    eval_batch = batch.real_traj.shape[0]
     gen, _ = build_models(cfg)
     z = jax.random.normal(k_z, (eval_batch, cfg.k, cfg.latent_dim))
     taus = gen.apply(state.g_params, batch.conditions, z)  # [B, k, H, S]

@@ -131,38 +131,205 @@ def train(cfg: Config, num_steps: Optional[int] = None,
     return state, history
 
 
+def _make_dataset_chunk_step(cfg: Config, mesh=None):
+    """Jitted ``(state, batches) -> (state, metrics)`` scanning
+    ``train_step_impl`` over a ``[chunk, B, ...]`` stack of host batches —
+    the dataset path's dispatch-latency amortiser (one compiled program
+    per chunk size, same as ``train_chunk``).  With ``mesh``, batch
+    leaves are constrained ``P('dp')``, latents ``P('dp','div')``, and
+    the fused-kernel NDiv sub-region engages (train/step.py ``_ndiv``).
+    """
+    import functools
+
+    from ndivplanning_tpu.train.step import train_step_impl
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ndivplanning_tpu.parallel.mesh import DIV_AXIS, DP_AXIS
+
+        batch_sh = NamedSharding(mesh, P(DP_AXIS))
+        z_sh = NamedSharding(mesh, P(DP_AXIS, DIV_AXIS))
+        repl = NamedSharding(mesh, P())
+
+    def body(state, batch):
+        if mesh is not None:
+            batch = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, batch_sh),
+                batch)
+            new_state, metrics = train_step_impl(cfg, state, batch,
+                                                 z_sharding=z_sh, mesh=mesh)
+            new_state = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, repl),
+                new_state)
+        else:
+            new_state, metrics = train_step_impl(cfg, state, batch)
+        return new_state, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk_step(state, batches):
+        return jax.lax.scan(body, state, batches)
+
+    return chunk_step
+
+
 def train_from_dataset(cfg: Config, dataset, num_epochs: int,
-                       state: TrainState | None = None, prefetch: int = 2):
+                       state: TrainState | None = None, prefetch: int = 2,
+                       workdir: Optional[str] = None, restore: bool = True,
+                       echo: bool = False, eval_dataset=None):
     """Train from a recorded host dataset (data/host_pipeline.py) instead
     of the on-device samplers — the reference's dataset-loading path
-    (SURVEY.md §2 C9).  Batches stream through the async H2D prefetcher;
-    each reaches the jitted externally-batched ``train_step``.
+    (SURVEY.md §2 C9), at full parity with :func:`train`:
 
-    ``dataset`` is an ArrayDataset whose arrays include ``conditions`` and
-    ``real_traj``.  Returns (state, last_metrics).
+    - true recorded scenes (or an exact obstacle-free reconstruction for
+      startgoal datasets) ride along in every batch,
+    - metrics stream through :class:`MetricsWriter`, checkpoints save on
+      ``cfg.checkpoint_every`` and restore-on-start resumes the exact
+      batch order (the epoch stream is deterministic in ``cfg.seed``, so
+      the resumed run skips the consumed prefix and continues bitwise),
+    - ``eval_dataset`` (e.g. from ``train_eval_split``) runs the honest
+      held-out evaluation — rollout success/collision against the eval
+      slice's TRUE scenes — every ``cfg.eval_every`` steps,
+    - execution is chunked: host batches are stacked and scanned in one
+      compiled program per log interval, and multi-shard configs route
+      through the mesh (GSPMD constraints + fused-kernel NDiv).
+
+    ``dataset`` is an ArrayDataset with ``conditions``/``real_traj`` (and
+    ``scene_*`` when recorded).  Returns (state, last_metrics_dict).
     """
-    import jax.numpy as jnp
+    import numpy as np
 
-    from ndivplanning_tpu.data.host_pipeline import epochs
+    from ndivplanning_tpu.data.host_pipeline import (
+        prefetch_to_device,
+        scenes_from_arrays,
+    )
     from ndivplanning_tpu.data.tasks import Batch
-    from ndivplanning_tpu.envs.types import Scene
-    from ndivplanning_tpu.train.state import create_train_state
-    from ndivplanning_tpu.train.step import train_step
+    from ndivplanning_tpu.train.evaluate import evaluate_on_batch
+
+    steps_per_epoch = dataset.size // cfg.batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset of {dataset.size} examples is smaller than one "
+            f"batch ({cfg.batch_size})")
+    total_steps = num_epochs * steps_per_epoch
 
     if state is None:
         state = create_train_state(cfg)
-    metrics = None
-    dummy_scene = jax.vmap(lambda _: Scene.create([0.0, 0.0], [1.0, 1.0]))(
-        jnp.zeros(cfg.batch_size))
-    for host_batch in epochs(dataset, cfg.batch_size, num_epochs,
-                             seed=cfg.seed, prefetch=prefetch):
-        batch = Batch(
-            conditions=jnp.asarray(host_batch["conditions"]),
-            real_traj=jnp.asarray(host_batch["real_traj"]),
-            scenes=dummy_scene,
+    if restore and workdir:
+        restored = ckpt.restore_latest(workdir, state)
+        if restored is not None:
+            state = restored
+
+    mesh = None
+    if cfg.dp_shards * cfg.div_shards > 1:
+        from ndivplanning_tpu.parallel.mesh import make_mesh
+        from ndivplanning_tpu.parallel.sharded_step import shard_state
+
+        mesh = make_mesh(cfg=cfg)
+        state = shard_state(state, mesh)
+    chunk_fns: dict[int, object] = {}
+
+    def run_chunk(state, batch_stack):
+        n = jax.tree.leaves(batch_stack)[0].shape[0]
+        if n not in chunk_fns:
+            chunk_fns[n] = _make_dataset_chunk_step(cfg, mesh)
+        return chunk_fns[n](state, batch_stack)
+
+    def to_batch(host: dict) -> Batch:
+        return Batch(
+            conditions=np.asarray(host["conditions"], np.float32),
+            real_traj=np.asarray(host["real_traj"], np.float32),
+            scenes=scenes_from_arrays(host, cfg.conditioning),
         )
-        state, metrics = train_step(cfg, state, batch)
-    return state, metrics
+
+    eval_batch = None
+    if eval_dataset is not None:
+        n_eval = (eval_dataset.size // cfg.batch_size) * cfg.batch_size
+        n_eval = n_eval or eval_dataset.size
+        eval_batch = jax.device_put(to_batch(
+            {k: v[:n_eval] for k, v in eval_dataset.arrays.items()}))
+
+    def next_boundary(s: int) -> int:
+        cands = [total_steps]
+        for every in (cfg.log_every, cfg.checkpoint_every, cfg.eval_every):
+            if every:
+                cands.append((s // every + 1) * every)
+        return min(c for c in cands if c > s)
+
+    step = int(state.step)
+    if step >= total_steps:
+        return state, {}
+    start_step = step  # frozen: the generator must not see `step` advance
+
+    def chunk_stream():
+        """Stacked-batch chunks, skipping the resumed run's consumed
+        prefix; chunk boundaries follow ``next_boundary``."""
+        s = start_step
+        pending: list[Batch] = []
+        target = next_boundary(s)
+        produced = 0
+        for e in range(num_epochs):
+            for host in dataset.batches(cfg.batch_size, seed=cfg.seed + e):
+                if produced < start_step:  # consumed before the restart
+                    produced += 1
+                    continue
+                produced += 1
+                pending.append(to_batch(host))
+                s += 1
+                if s == target:
+                    yield jax.tree.map(
+                        lambda *xs: np.stack(xs), *pending)
+                    pending = []
+                    target = next_boundary(s)
+        if pending:  # dataset truncation (drop_remainder) tail
+            yield jax.tree.map(lambda *xs: np.stack(xs), *pending)
+
+    writer = MetricsWriter(workdir, echo=echo)
+    history: list[dict] = []
+    t_last = time.monotonic()
+    steps_since_log = 0
+    last: dict = {}
+    try:
+        for batch_stack in prefetch_to_device(chunk_stream(),
+                                              buffer_size=prefetch):
+            n = jax.tree.leaves(batch_stack)[0].shape[0]
+            state, metrics = run_chunk(state, batch_stack)
+            last = {k: float(v[-1]) for k, v in metrics.items()}
+            step += n
+            steps_since_log += n
+
+            if cfg.log_every and (step % cfg.log_every == 0
+                                  or step >= total_steps):
+                now = time.monotonic()
+                last["steps_per_sec"] = steps_since_log / max(
+                    now - t_last, 1e-9)
+                t_last = now
+                steps_since_log = 0
+                writer.write(step, last)
+                history.append({"step": step, **last})
+            if (workdir and cfg.checkpoint_every
+                    and step % cfg.checkpoint_every == 0):
+                ckpt.save_checkpoint(workdir, state)
+            if (eval_batch is not None and cfg.eval_every
+                    and step % cfg.eval_every == 0 and step < total_steps):
+                eval_key = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed + 1), step)
+                ev = {k: float(v) for k, v in evaluate_on_batch(
+                    cfg, state, eval_key, eval_batch).items()}
+                writer.write(step, ev, kind="eval")
+
+        if workdir and cfg.checkpoint_every:
+            ckpt.save_checkpoint(workdir, state)
+    except KeyboardInterrupt:
+        if workdir and cfg.checkpoint_every:
+            try:
+                ckpt.save_checkpoint(workdir, state)
+            except Exception:
+                pass
+        raise
+    finally:
+        writer.close()
+    return state, last
 
 
 def run_steps(cfg: Config, state: TrainState, n: int):
