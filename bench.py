@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", details}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,7 +25,7 @@ def _time_it(fn, n_iters: int, warmup: int = 2) -> float:
     ``fn`` MUST end with a host transfer (``np.asarray`` of some output
     element) — on this TPU tunnel, ``jax.block_until_ready`` returns
     before remote execution completes, so only a device_get is an honest
-    synchronisation point.
+    synchronisation point (utils.profiling.device_sync).
     """
     for _ in range(warmup):
         fn()
@@ -35,6 +36,36 @@ def _time_it(fn, n_iters: int, warmup: int = 2) -> float:
             fn()
         times.append((time.perf_counter() - t0) / n_iters)
     return float(np.median(times))
+
+
+# Per-chip dense peak (bf16 matmul FLOP/s) for MFU accounting, keyed by
+# substring of jax device_kind.  Sources: public TPU spec sheets.
+_PEAK_BF16_FLOPS = {
+    "v5 lite": 197e12,  # v5e / v5 lite
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,  # trillium
+}
+
+
+def _peak_flops_for(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def _program_flops(jitted, *args) -> float | None:
+    """XLA's own FLOP estimate for one execution of the compiled program."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
 
 
 # --------------------------------------------------------------- workloads
@@ -65,8 +96,8 @@ def bench_torch_cpu():
     cond = torch.rand(BATCH, COND)
     real = torch.rand(BATCH, HORIZON * 2)
 
-    t_step = _time_it(lambda: gan.train_step(cond, real, K), n_iters=3,
-                      warmup=1)
+    t_step = _time_it(lambda: gan.train_step(cond, real, K), n_iters=8,
+                      warmup=2)
 
     z = torch.randn(NDIV_B, NDIV_K, LATENT)
     x = torch.randn(NDIV_B, NDIV_K, NDIV_DX)
@@ -76,7 +107,7 @@ def bench_torch_cpu():
         xx = x.clone().requires_grad_(True)
         ndiv_loss_torch(zz, xx).backward()
 
-    t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=3, warmup=1)
+    t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=10, warmup=2)
 
     # Rollout: per-candidate Python loop (the reference's §3.3 shape).
     # Same per-step work as the TPU score_candidates path: PD control,
@@ -108,12 +139,70 @@ def bench_torch_cpu():
                 if float((delta * delta).sum()) ** 0.5 < 0.05:
                     done = True
 
-    t_roll_50 = _time_it(rollouts, n_iters=1, warmup=1)
+    t_roll_50 = _time_it(rollouts, n_iters=3, warmup=1)
     return {
         "train_step_s": t_step,
         "ndiv_fwdbwd_s": t_ndiv,
         "rollout_steps_per_s": (50 * ROLL_H) / t_roll_50,
+        # Oracle numbers wobble with machine load (round-1 lesson: a
+        # concurrent pytest halved them once) — record it for the reader.
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
+
+
+def flops_probe() -> None:
+    """(Runs in a fresh subprocess under ``--flops-probe``.)  Pin the CPU
+    backend and print XLA's FLOP estimates for the contract programs.
+
+    Compiling on CPU is cheap (the TPU tunnel pays 90-300 s per program
+    and may not cache a second identical compile), and the math is the
+    same program modulo the NDiv kernel — whose arithmetic is identical
+    to the jnp path XLA analyses here.  Used for the MFU/roofline
+    accounting (SURVEY.md §6).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
+    from ndivplanning_tpu.ops.ndiv import ndiv_loss
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.train.step import train_chunk
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("goalcond", batch_size=BATCH, k=K)
+    state = create_train_state(cfg)
+    n = 8  # scan length; flops scale linearly, divide back out
+    f_chunk = _program_flops(train_chunk, cfg, state, n)
+
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (NDIV_B, NDIV_K, LATENT))
+    x = jax.random.normal(key, (NDIV_B, NDIV_K, NDIV_DX))
+    grad_fn = jax.jit(
+        jax.grad(lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
+    f_ndiv = _program_flops(grad_fn, z, x)
+
+    print(json.dumps({
+        "train_step_flops": f_chunk / n if f_chunk else None,
+        "ndiv_fwdbwd_flops": f_ndiv,
+    }))
+
+
+def _run_flops_probe() -> dict:
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops-probe"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=600, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {}
 
 
 def bench_jax():
@@ -163,6 +252,8 @@ def bench_jax():
     t_roll = _time_it(roll, n_iters=2, warmup=2) / ROLL_AMP
     return {
         "backend": backend,
+        "device_kind": getattr(jax.devices()[0], "device_kind", backend),
+        "peak_bf16_flops": _peak_flops_for(jax.devices()[0]),
         "train_step_s": t_step,
         "ndiv_fwdbwd_s": t_ndiv,
         "rollout_steps_per_s": (N_CAND * ROLL_H) / t_roll,
@@ -172,6 +263,7 @@ def bench_jax():
 def main() -> None:
     cpu = bench_torch_cpu()
     tpu = bench_jax()
+    probe = _run_flops_probe()
 
     steps_per_sec = 1.0 / tpu["train_step_s"]
     vs_train = cpu["train_step_s"] / tpu["train_step_s"]
@@ -196,9 +288,43 @@ def main() -> None:
             "rollout_steps_per_sec": round(tpu["rollout_steps_per_s"], 1),
             "rollout_steps_per_sec_cpu": round(cpu["rollout_steps_per_s"], 1),
             "rollout_vs_baseline": round(vs_roll, 2),
+            "cpu_loadavg_1m": cpu["loadavg_1m"],
+            **_mfu_details(tpu, probe),
         },
     }))
 
 
+def _mfu_details(tpu: dict, probe: dict) -> dict:
+    """Hardware-relative accounting (SURVEY.md §6): analytic FLOPs/step
+    (XLA cost analysis of the identical program), achieved FLOP/s, and
+    fraction of the chip's dense-bf16 peak.  These tiny research models
+    are dispatch/HBM-bound, not MXU-bound — the MFU figure states that
+    honestly rather than leaving 'is it fast for the chip' unanswerable.
+    """
+    out: dict = {"device_kind": tpu["device_kind"]}
+    peak = tpu.get("peak_bf16_flops")
+    if peak:
+        out["peak_bf16_tflops"] = round(peak / 1e12, 1)
+    f_step = probe.get("train_step_flops")
+    if f_step:
+        achieved = f_step / tpu["train_step_s"]
+        out["train_flops_per_step"] = round(f_step)
+        out["train_achieved_gflops_per_sec"] = round(achieved / 1e9, 2)
+        if peak:
+            out["train_mfu_pct"] = round(100.0 * achieved / peak, 4)
+    f_ndiv = probe.get("ndiv_fwdbwd_flops")
+    if f_ndiv:
+        achieved = f_ndiv / tpu["ndiv_fwdbwd_s"]
+        out["ndiv_achieved_gflops_per_sec"] = round(achieved / 1e9, 2)
+        if peak:
+            out["ndiv_mfu_pct"] = round(100.0 * achieved / peak, 4)
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--flops-probe" in sys.argv:
+        flops_probe()
+    else:
+        main()

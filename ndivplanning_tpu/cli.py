@@ -116,10 +116,18 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.train.loop import train
 
         if args.profile_dir:
+            import sys
+
             from ndivplanning_tpu.utils.profiling import trace
 
-            with trace(args.profile_dir):
-                state, history = train(cfg)
+            try:
+                with trace(args.profile_dir):
+                    state, history = train(cfg)
+            except RuntimeError as e:
+                # e.g. the axon dev tunnel, where start_trace hangs —
+                # fail fast with the alternative instead of wedging.
+                print(f"error: {e}", file=sys.stderr)
+                return 2
         else:
             state, history = train(cfg)
         print(json.dumps({"final_step": int(state.step),
