@@ -8,27 +8,50 @@ scene requests on stdin/stdout, one JSON object per line.
 Request:  {"start": [x, y], "goal": [x, y],
            "obstacles": [[cx, cy, r], ...]}        (obstacles optional)
 Response: {"best_traj": [[x, y] * horizon], "best_score": s,
-           "best_reached": 0|1, "diverse_trajs": [...], "latency_ms": t}
+           "best_reached": 0|1, "diverse_trajs": [...],
+           "latency_ms": t, "batch_size": n}
 
-The first request pays the compile; every later request is one dispatch
-(all requests share one static shape: scenes are fixed-capacity pytrees).
+Batched serving
+---------------
+Requests coalesce into ONE ``plan_batch`` dispatch (vmap over scenes)
+instead of one dispatch each:
+
+- a line that is a JSON *array* of requests is answered with a JSON
+  array of responses, planned in one dispatch — the deterministic
+  batching path for throughput clients;
+- a burst of separate lines is drained best-effort (``select`` on real
+  pipes; direct read-ahead on in-memory streams) and coalesced.
+
+Scene batches are padded up to a small set of bucket sizes
+({1, 2, 4, 8, 16} by default) so the jit cache holds at most
+``len(buckets)`` programs — compiles are 90-300 s on the TPU tunnel, so
+per-burst-size shapes would be a latency landmine.  Per-request errors
+(bad JSON, malformed scenes) are answered in place without failing the
+batch.  The first request pays the compile; every later request is one
+dispatch (scenes are fixed-capacity pytrees, so all requests share the
+bucket's static shape).
 """
 
 from __future__ import annotations
 
+import io
 import json
+import select
 import sys
 import time
 from typing import IO
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndivplanning_tpu.data.scenes import rasterize_scene
 from ndivplanning_tpu.envs.types import Scene
-from ndivplanning_tpu.planning.planner import plan
+from ndivplanning_tpu.planning.planner import plan_batch
 from ndivplanning_tpu.train.state import TrainState
 from ndivplanning_tpu.utils.config import Config
+
+BUCKETS = (1, 2, 4, 8, 16)
 
 
 def _condition_for(cfg: Config, scene: Scene) -> jnp.ndarray:
@@ -39,45 +62,156 @@ def _condition_for(cfg: Config, scene: Scene) -> jnp.ndarray:
     return jnp.zeros((0,), jnp.float32)
 
 
+def _bucket_for(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return BUCKETS[-1]
+
+
+def handle_batch(cfg: Config, state: TrainState, requests: list,
+                 key: jax.Array, n_diverse: int = 4) -> list[dict]:
+    """Plan for a list of scene requests in bucketed ``plan_batch``
+    dispatches; returns one JSON-serialisable response per request.
+
+    A malformed request yields an ``{"error": ...}`` entry at its
+    position; the rest of the batch still plans.
+    """
+    responses: list[dict | None] = [None] * len(requests)
+    scenes: list[Scene] = []
+    idx: list[int] = []
+    for i, req in enumerate(requests):
+        try:
+            scenes.append(Scene.create(req["start"], req["goal"],
+                                       req.get("obstacles")))
+            idx.append(i)
+        except Exception as e:  # noqa: BLE001 — isolated per request
+            responses[i] = {"error": f"{type(e).__name__}: {e}"}
+
+    pos = 0
+    max_bucket = BUCKETS[-1]
+    while pos < len(scenes):
+        chunk = scenes[pos:pos + max_bucket]
+        chunk_idx = idx[pos:pos + max_bucket]
+        pos += len(chunk)
+        bucket = _bucket_for(len(chunk))
+        # Pad with copies of the first scene; padded outputs are dropped.
+        padded = chunk + [chunk[0]] * (bucket - len(chunk))
+
+        t0 = time.perf_counter()
+        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+        cond_b = jnp.stack([_condition_for(cfg, s) for s in padded])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, bucket)
+        result = plan_batch(cfg, state, scene_b, cond_b, keys,
+                            n_diverse=n_diverse)
+        # One host transfer for the whole dispatch.
+        best_traj = np.asarray(result.best_traj)
+        best_score = np.asarray(result.best_score)
+        best_reached = np.asarray(result.best_reached)
+        taus = np.asarray(result.taus)
+        diverse_idx = np.asarray(result.diverse_idx)
+        latency_ms = round((time.perf_counter() - t0) * 1e3, 2)
+
+        for j, i in enumerate(chunk_idx):
+            responses[i] = {
+                "best_traj": best_traj[j].tolist(),
+                "best_score": float(best_score[j]),
+                "best_reached": float(best_reached[j]),
+                "diverse_trajs": taus[j][diverse_idx[j]].tolist(),
+                "latency_ms": latency_ms,
+                "batch_size": bucket,
+            }
+    return responses  # every index was filled (planned or error)
+
+
 def handle_request(cfg: Config, state: TrainState, request: dict,
                    key: jax.Array, n_diverse: int = 4) -> dict:
-    """Plan for one scene request; returns a JSON-serialisable response."""
-    t0 = time.perf_counter()
-    scene = Scene.create(request["start"], request["goal"],
-                         request.get("obstacles"))
-    condition = _condition_for(cfg, scene)
-    result = plan(cfg, state, scene, condition, key, n_diverse=n_diverse)
-    best = result.best_traj
-    import numpy as np
+    """Plan for one scene request (bucket-1 batch dispatch)."""
+    return handle_batch(cfg, state, [request], key, n_diverse=n_diverse)[0]
 
-    diverse = np.asarray(result.taus[result.diverse_idx])
-    return {
-        "best_traj": np.asarray(best).tolist(),
-        "best_score": float(result.best_score),
-        "best_reached": float(result.best_reached),
-        "diverse_trajs": diverse.tolist(),
-        "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
-    }
+
+def _drain_available(stdin: IO[str], max_n: int) -> list[str]:
+    """Read up to ``max_n`` immediately-available extra lines without
+    blocking: ``select`` on real file descriptors, direct read-ahead on
+    in-memory streams (which never block)."""
+    out: list[str] = []
+    try:
+        fd = stdin.fileno()
+        selectable = True
+    except (AttributeError, OSError, ValueError,
+            io.UnsupportedOperation):
+        selectable = False
+    while len(out) < max_n:
+        if selectable:
+            ready, _, _ = select.select([fd], [], [], 0)
+            if not ready:
+                break
+        line = stdin.readline()
+        if line == "":
+            break
+        out.append(line)
+    return out
 
 
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
-          stdout: IO[str] = sys.stdout, seed: int = 0) -> int:
-    """Blocking request loop; returns number of requests served."""
+          stdout: IO[str] = sys.stdout, seed: int = 0,
+          max_coalesce: int = BUCKETS[-1]) -> int:
+    """Blocking request loop; returns number of request lines answered.
+
+    Each input line is either one request object or an array of request
+    objects (answered with an array, planned as one batch).  Bursts of
+    pending lines additionally coalesce into shared dispatches.
+    """
     key = jax.random.PRNGKey(seed)
     n = 0
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
-        if line == "quit":
+    stop = False
+    while not stop:
+        first = stdin.readline()
+        if first == "":
             break
-        try:
-            request = json.loads(line)
+        lines = [first]
+        lines += _drain_available(stdin, max_coalesce - 1)
+
+        # units: per answered line, (kind, payload) where kind is
+        # "single" | "list" | "error"
+        units: list[tuple[str, object]] = []
+        flat: list[dict] = []
+        for raw in lines:
+            raw = raw.strip()
+            if not raw:
+                continue
+            if raw == "quit":
+                stop = True
+                break
+            try:
+                parsed = json.loads(raw)
+            except Exception as e:  # noqa: BLE001
+                units.append(("error",
+                              {"error": f"{type(e).__name__}: {e}"}))
+                continue
+            if isinstance(parsed, list):
+                units.append(("list", len(parsed)))
+                flat.extend(parsed)
+            else:
+                units.append(("single", 1))
+                flat.append(parsed)
+
+        if flat:
             key, sub = jax.random.split(key)
-            response = handle_request(cfg, state, request, sub)
-        except Exception as e:  # noqa: BLE001 — server must not die per-request
-            response = {"error": f"{type(e).__name__}: {e}"}
-        stdout.write(json.dumps(response) + "\n")
-        stdout.flush()
-        n += 1
+            answers = handle_batch(cfg, state, flat, sub)
+        pos = 0
+        for kind, payload in units:
+            if kind == "error":
+                response: object = payload
+            elif kind == "list":
+                count = int(payload)  # type: ignore[arg-type]
+                response = answers[pos:pos + count]
+                pos += count
+            else:
+                response = answers[pos]
+                pos += 1
+            stdout.write(json.dumps(response) + "\n")
+            stdout.flush()
+            n += 1
     return n
