@@ -65,6 +65,11 @@ def main(argv=None) -> int:
         if name == "viz":
             p.add_argument("--out", default="plan.png",
                            help="output PNG path")
+        if name == "eval":
+            p.add_argument("--sampled", action="store_true",
+                           help="sample a fresh eval batch instead of "
+                                "the frozen 512-scene suite")
+            p.add_argument("--suite-size", type=int, default=512)
         if name == "record-data":
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
@@ -135,10 +140,16 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "eval":
-        from ndivplanning_tpu.train.evaluate import evaluate
-
         state = _load_state(cfg)
-        out = evaluate(cfg, state, jax.random.PRNGKey(cfg.seed + 2))
+        if args.sampled:
+            from ndivplanning_tpu.train.evaluate import evaluate
+
+            out = evaluate(cfg, state, jax.random.PRNGKey(cfg.seed + 2))
+        else:
+            # Frozen protocol: numbers are comparable run-to-run.
+            from ndivplanning_tpu.train.evaluate import evaluate_fixed
+
+            out = evaluate_fixed(cfg, state, n_scenes=args.suite_size)
         print(json.dumps({k: float(v) for k, v in out.items()}))
         return 0
 

@@ -51,6 +51,33 @@ def evaluate_on_batch(cfg: Config, state: TrainState, key: jax.Array,
     return _evaluate_impl(cfg, state, key, batch)
 
 
+# Frozen eval protocol (round-2): suite scenes and the eval latent draws
+# use FIXED keys independent of cfg.seed/training step, so quality
+# numbers from different runs/rounds at the same checkpoint agree to the
+# digit instead of re-sampling luck.
+EVAL_SUITE_SEED = 0xE7A1
+EVAL_SUITE_SIZE = 512
+
+
+def make_eval_suite(cfg: Config, n_scenes: int = EVAL_SUITE_SIZE,
+                    seed: int = EVAL_SUITE_SEED):
+    """The preset's frozen evaluation set: a fixed batch of scenes/
+    conditions/expert trajectories keyed only by (conditioning, shapes,
+    seed) — NOT by the training seed."""
+    task = make_task(cfg)
+    return task.sample(jax.random.PRNGKey(seed), n_scenes)
+
+
+def evaluate_fixed(cfg: Config, state: TrainState,
+                   n_scenes: int = EVAL_SUITE_SIZE,
+                   seed: int = EVAL_SUITE_SEED):
+    """Metrics on the frozen suite with frozen latents: reproducible to
+    the digit for a given checkpoint (tests/test_evaluate_plan.py)."""
+    suite = make_eval_suite(cfg, n_scenes, seed)
+    return evaluate_on_batch(cfg, state, jax.random.PRNGKey(seed + 1),
+                             suite)
+
+
 def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch):
     eval_batch = batch.real_traj.shape[0]
     gen, _ = build_models(cfg)
