@@ -29,8 +29,14 @@ def train(cfg: Config, num_steps: Optional[int] = None,
     Returns (final_state, history) where history is the list of logged
     metric rows (used by the determinism tests).
     """
+    from ndivplanning_tpu.utils.compile_guard import start_compile_count
+
     num_steps = cfg.steps if num_steps is None else num_steps
     workdir = cfg.workdir if workdir is None else workdir
+
+    # Count every XLA program this run compiles, init included — major
+    # ones cost 90-300 s each on the TPU tunnel (logged at run end).
+    compile_rec, stop_compile_count = start_compile_count()
 
     state = create_train_state(cfg)
     if restore and workdir:
@@ -78,16 +84,16 @@ def train(cfg: Config, num_steps: Optional[int] = None,
             target = next_boundary(step)
             chunk = target - step
             # Chunked lax.scan execution amortises per-step dispatch
-            # latency.  With default config the boundaries align so only
-            # ONE chunk size (log_every) compiles — compiles are
-            # expensive on TPU.
+            # latency.  With default config the boundaries align so
+            # only ONE chunk size (log_every) compiles — compiles
+            # are expensive on TPU (90-300 s each on the tunnel).
             if sharded:
                 state, metrics = sharded_chunk(state, chunk)
             else:
                 state, metrics = train_chunk(cfg, state, chunk)
-            # The float() below is where the host actually blocks on the
-            # async dispatch — keep it inside the try so an interrupt
-            # here still checkpoints.
+            # The float() below is where the host actually blocks on
+            # the async dispatch — keep it inside the try so an
+            # interrupt here still checkpoints.
             last = {k: float(v[-1]) for k, v in metrics.items()}
             step = target
             steps_since_log += chunk
@@ -112,6 +118,15 @@ def train(cfg: Config, num_steps: Optional[int] = None,
                       evaluate(cfg, state, eval_key).items()}
                 writer.write(step, ev, kind="eval")
 
+        # Compile-budget log (one line): how many XLA programs this run
+        # actually compiled — major ones cost 90-300 s each on the TPU
+        # tunnel, so regressions here matter as much as steps/sec.
+        stop_compile_count()
+        writer.write(step, {
+            "xla_programs_compiled": compile_rec.count,
+            "xla_major_programs": len(compile_rec.major()),
+            "xla_compile_secs": round(compile_rec.total_secs(), 2),
+        }, kind="compile")
         if workdir and cfg.checkpoint_every:
             ckpt.save_checkpoint(workdir, state)
     except KeyboardInterrupt:
@@ -127,6 +142,7 @@ def train(cfg: Config, num_steps: Optional[int] = None,
                 pass
         raise
     finally:
+        stop_compile_count()
         writer.close()
     return state, history
 
