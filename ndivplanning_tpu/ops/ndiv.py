@@ -79,7 +79,11 @@ def ndiv_loss_reference(
         raise ValueError(f"need k >= 2 diversity samples, got k={k}")
     nz = normalized_pairwise_l2(z)
     nx = normalized_pairwise_l2(x)
-    hinge = jnp.maximum(alpha * nz - nx, 0.0)
+    # Hinge via where(slack > 0), NOT jnp.maximum: maximum's autodiff
+    # subgradient at an exact tie is 0.5, which would break the strict->
+    # convention the hand-derived Pallas VJP uses (ADVICE round-1).
+    slack = alpha * nz - nx
+    hinge = jnp.where(slack > 0.0, slack, 0.0)
     off_diag = ~jnp.eye(k, dtype=bool)
     total = jnp.sum(jnp.where(off_diag, hinge, 0.0))
     n_conditions = hinge.size // (k * k)

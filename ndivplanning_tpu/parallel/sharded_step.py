@@ -152,7 +152,10 @@ def ndiv_loss_sharded(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
 
         nz, self_mask = row_block(rows_z, z_full)
         nx, _ = row_block(rows_x, x_full)
-        hinge = jnp.maximum(alpha * nz - nx, 0.0)
+        # where(slack > 0), not maximum: keep the shared strict->
+        # hinge-subgradient convention (ops/ndiv.py).
+        slack = alpha * nz - nx
+        hinge = jnp.where(slack > 0.0, slack, 0.0)
         hinge = jnp.where(self_mask[None], 0.0, hinge)
         partial = jnp.sum(hinge)
         total = jax.lax.psum(partial, (DP_AXIS, DIV_AXIS))

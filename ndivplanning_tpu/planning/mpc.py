@@ -44,17 +44,25 @@ class MPCResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_candidates", "weights", "offset")
+    jax.jit, static_argnames=("cfg", "n_candidates", "weights")
 )
 def _replan(cfg: Config, gen_state: TrainState, scene: Scene,
             condition: jnp.ndarray, env_state: EnvState, key: jax.Array,
             n_candidates: int, weights: ScoreWeights,
-            offset: int) -> jnp.ndarray:
-    """One replanning cycle: best candidate's REMAINING waypoints
-    ``tau[offset:]``, scored from ``env_state``.  ``offset`` is static
-    (callers clamp it to the horizon so late cycles share one program)."""
+            offset: jnp.ndarray) -> jnp.ndarray:
+    """One replanning cycle: best candidate's REMAINING waypoints,
+    scored from ``env_state``.
+
+    ``offset`` is a TRACED scalar, not a static argument: the remaining
+    tail keeps the fixed full-horizon shape by shifting the waypoints
+    forward and padding with the final waypoint (clipped gather), so
+    EVERY replanning cycle of an episode shares one compiled program —
+    a per-offset static slice would compile ~total_steps/replan_every
+    programs at 90-300 s each on the TPU tunnel (ADVICE round-1)."""
     taus = generate_candidates(cfg, gen_state, condition, key, n_candidates)
-    taus = taus[:, offset:, :]
+    h = taus.shape[1]
+    idx = jnp.minimum(jnp.arange(h) + offset, h - 1)
+    taus = taus[:, idx, :]  # [N, H, 2]: tail shifted to front, end-padded
     results = score_rollouts(cfg, scene, taus, weights, state0=env_state)
     best = jnp.argmin(results.score)
     return taus[best]
@@ -100,9 +108,7 @@ def mpc_rollout(cfg: Config, gen_state: TrainState, scene: Scene,
     n_replans = 0
     for t0 in range(0, total_steps, replan_every):
         key, k_plan = jax.random.split(key)
-        # Clamp the static offset so every past-horizon cycle reuses one
-        # compiled program (compiles are expensive — CLAUDE.md).
-        offset = min(t0, cfg.horizon - 1)
+        offset = jnp.asarray(min(t0, cfg.horizon - 1), jnp.int32)
         tau = _replan(cfg, gen_state, scene, condition, env_state, k_plan,
                       n_candidates, weights, offset=offset)
         n_replans += 1

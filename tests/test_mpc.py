@@ -54,3 +54,24 @@ def test_mpc_respects_bounds():
                          total_steps=12, replan_every=6, n_candidates=8)
     pos = np.asarray(result.positions)
     assert pos.min() >= -1e-6 and pos.max() <= 1.0 + 1e-6
+
+
+def test_mpc_episode_single_replan_program():
+    """ADVICE round-1: all replanning cycles of an episode must share ONE
+    compiled replan program (offset is traced, shapes fixed) — a warmed
+    second episode compiles nothing at all."""
+    import jax
+
+    from ndivplanning_tpu.utils.compile_guard import count_compiles
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    scene = Scene.create([0.2, 0.2], [0.8, 0.8])
+    condition = jnp.concatenate([scene.start, scene.goal])
+    # Warm episode: compiles _replan once + _execute (+tail) once.
+    mpc_rollout(cfg, state, scene, condition, jax.random.PRNGKey(0),
+                total_steps=64, replan_every=8, n_candidates=16)
+    with count_compiles() as rec:
+        mpc_rollout(cfg, state, scene, condition, jax.random.PRNGKey(1),
+                    total_steps=64, replan_every=8, n_candidates=16)
+    assert rec.count == 0, f"unexpected recompiles: {rec.names}"

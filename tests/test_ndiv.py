@@ -105,3 +105,30 @@ def test_rejects_bad_shapes():
         ndiv_loss_reference(jnp.ones((2, 1, 2)), jnp.ones((2, 1, 3)))
     with pytest.raises(ValueError):
         ndiv_loss_reference(jnp.ones((2, 4, 2)), jnp.ones((2, 5, 3)))
+
+
+def test_hinge_tie_subgradient_is_zero():
+    """Strict-> convention at an exact hinge tie (ADVICE round-1): with
+    k=2 every row-normalised off-diagonal entry is exactly 1, so
+    alpha=1.0 puts every pair exactly AT the hinge; the shared
+    convention (relu' = 0 at 0) demands zero gradient — jnp.maximum
+    would give 0.5 there."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(3, 2, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(3, 2, 16)).astype(np.float32))
+
+    val = float(ndiv_loss_reference(z, x, alpha=1.0))
+    assert val == 0.0
+    gz, gx = jax.grad(lambda a, b: ndiv_loss_reference(a, b, 1.0),
+                      argnums=(0, 1))(z, x)
+    np.testing.assert_array_equal(np.asarray(gz), 0.0)
+    np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
+    from ndivplanning_tpu.ops.ndiv_pallas import ndiv_loss_fused
+
+    gz2, gx2 = jax.grad(lambda a, b: ndiv_loss_fused(a, b, 1.0),
+                        argnums=(0, 1))(z, x)
+    np.testing.assert_array_equal(np.asarray(gz2), 0.0)
+    np.testing.assert_array_equal(np.asarray(gx2), 0.0)
