@@ -30,6 +30,9 @@ class PlanResult(NamedTuple):
     best_score: jnp.ndarray  # scalar
     best_reached: jnp.ndarray  # scalar {0,1}
     diverse_idx: jnp.ndarray  # [m] indices of the diverse top-m set
+    diverse_trajs: jnp.ndarray  # [m, H, S] gathered on device: the
+    #   serving path fetches these instead of all N candidates (a 4 MB
+    #   host transfer per 16-scene burst otherwise)
     scores: jnp.ndarray  # [N] all candidate scores
     taus: jnp.ndarray  # [N, H, S] all candidates
 
@@ -100,6 +103,7 @@ def _plan_impl(cfg: Config, state: TrainState, scene: Scene,
         best_score=results.score[best],
         best_reached=results.reached[best],
         diverse_idx=diverse_idx,
+        diverse_trajs=taus[diverse_idx],
         scores=results.score,
         taus=taus,
     )
