@@ -29,6 +29,7 @@ class ConditionEncoder(nn.Module):
     mode: str
     embed_dim: int = 64
     hidden: Sequence[int] = (64,)
+    encoder_features: Sequence[int] = (16, 32, 64)  # conv channels (image)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -43,6 +44,7 @@ class ConditionEncoder(nn.Module):
             return nn.Dense(self.embed_dim, dtype=self.dtype)(x)
         if self.mode == "image":
             return SceneEncoderCNN(embed_dim=self.embed_dim,
+                                   features=tuple(self.encoder_features),
                                    dtype=self.dtype)(conditions)
         raise ValueError(f"unknown conditioning mode {self.mode!r}")
 

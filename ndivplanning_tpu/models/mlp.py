@@ -85,7 +85,12 @@ class Discriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, cond_embed: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, cond_embed: jnp.ndarray, traj: jnp.ndarray,
+                 return_features: bool = False):
+        """With ``return_features=True`` also returns the trunk's last
+        hidden layer (``[*lead, hidden[-1]]``) — the statistics matched
+        by the feature-matching G loss (Salimans et al. 2016), which
+        stabilises the conv-conditioned config."""
         if traj.ndim == 4:  # [B, k, H, S] -> per-sample conditioning
             b, k = traj.shape[:2]
             flat = traj.reshape(b, k, -1)
@@ -107,4 +112,8 @@ class Discriminator(nn.Module):
             lead = (b,)
         x = MLPTrunk(self.hidden, dtype=self.dtype)(x)
         logit = nn.Dense(1, dtype=self.dtype)(x)
-        return logit.astype(jnp.float32).reshape(*lead)
+        logit = logit.astype(jnp.float32).reshape(*lead)
+        if return_features:
+            feats = x.astype(jnp.float32).reshape(*lead, x.shape[-1])
+            return logit, feats
+        return logit

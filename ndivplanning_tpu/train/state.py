@@ -48,7 +48,7 @@ class ConditionedGenerator(nn.Module):
         dtype = _compute_dtype(self.cfg)
         cond_embed = ConditionEncoder(
             mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim,
-            dtype=dtype,
+            encoder_features=self.cfg.encoder_features, dtype=dtype,
         )(conditions)
         return Generator(
             horizon=self.cfg.horizon,
@@ -65,14 +65,15 @@ class ConditionedDiscriminator(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, conditions: jnp.ndarray, traj: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, conditions: jnp.ndarray, traj: jnp.ndarray,
+                 return_features: bool = False):
         dtype = _compute_dtype(self.cfg)
         cond_embed = ConditionEncoder(
             mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim,
-            dtype=dtype,
+            encoder_features=self.cfg.encoder_features, dtype=dtype,
         )(conditions)
-        return Discriminator(hidden=self.cfg.d_hidden,
-                             dtype=dtype)(cond_embed, traj)
+        return Discriminator(hidden=self.cfg.d_hidden, dtype=dtype)(
+            cond_embed, traj, return_features=return_features)
 
 
 @flax.struct.dataclass

@@ -110,14 +110,30 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
 
     # ---------------- G update (against updated D) ----------------
+    fm_w = cfg.feature_matching_weight
+
     def g_loss(g_params):
         tau = gen.apply(g_params, batch.conditions, z)
-        fake_logits = disc.apply(d_params, batch.conditions, tau)
+        if fm_w > 0:
+            fake_logits, fake_feats = disc.apply(
+                d_params, batch.conditions, tau, return_features=True)
+            _, real_feats = disc.apply(
+                d_params, batch.conditions, batch.real_traj,
+                return_features=True)
+            # Match first moments of D's last hidden features between
+            # the real batch and the B*k fakes (Salimans et al. 2016).
+            fake_mean = jnp.mean(
+                fake_feats.reshape(-1, fake_feats.shape[-1]), axis=0)
+            real_mean = jnp.mean(real_feats, axis=0)
+            fm = jnp.mean(jnp.square(real_mean - fake_mean))
+        else:
+            fake_logits = disc.apply(d_params, batch.conditions, tau)
+            fm = jnp.asarray(0.0, jnp.float32)
         adv = g_loss_fn_of(fake_logits)
         ndiv = _ndiv(cfg, z, tau, mesh=mesh)
-        return adv + cfg.ndiv_weight * ndiv, (adv, ndiv)
+        return adv + cfg.ndiv_weight * ndiv + fm_w * fm, (adv, ndiv, fm)
 
-    (g_total, (g_adv, g_ndiv)), g_grads = jax.value_and_grad(
+    (g_total, (g_adv, g_ndiv, g_fm)), g_grads = jax.value_and_grad(
         g_loss, has_aux=True
     )(state.g_params)
     g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
@@ -138,6 +154,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         "g_ndiv": g_ndiv,
         "g_total": g_total,
     }
+    if fm_w > 0:
+        metrics["g_fm"] = g_fm
     return new_state, metrics
 
 

@@ -37,6 +37,7 @@ class Config:
     g_hidden: Tuple[int, ...] = (256, 256)
     d_hidden: Tuple[int, ...] = (256, 256)
     cond_embed_dim: int = 64
+    encoder_features: Tuple[int, ...] = (16, 32, 64)  # conv channels
     generator_output: str = "linear"  # linear | sigmoid
     # Compute dtype for the dense/conv stacks (params stay f32; NDiv and
     # env math stay f32 regardless).  "bf16" rides the MXU natively.
@@ -47,6 +48,9 @@ class Config:
     ndiv_alpha: float = 0.8
     ndiv_weight: float = 1.0
     ndiv_impl: str = "auto"  # auto | pallas | jnp
+    # Feature-matching G loss (Salimans et al. 2016): ||E[D_feat(real)] -
+    # E[D_feat(fake)]||^2 added to the G objective.  0 disables.
+    feature_matching_weight: float = 0.0
 
     # Optimization
     g_lr: float = 1e-3

@@ -82,3 +82,40 @@ def test_gan_loss_variants(gan_loss):
     state = create_train_state(cfg)
     state, metrics = train_step_fused(cfg, state)
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_feature_matching_loss():
+    """feature_matching_weight adds the Salimans-style first-moment term
+    to the G objective and the metrics stream."""
+    import jax
+
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.train.step import train_step_fused
+
+    cfg = get_config("imagecond", batch_size=4, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, image_size=16,
+                     feature_matching_weight=1.0)
+    state = create_train_state(cfg)
+    state, m = train_step_fused(cfg, state)
+    assert "g_fm" in m
+    assert np.isfinite(float(m["g_fm"])) and float(m["g_fm"]) >= 0.0
+    # The term participates in g_total.
+    assert abs(float(m["g_total"])
+               - (float(m["g_adv"]) + cfg.ndiv_weight * float(m["g_ndiv"])
+                  + float(m["g_fm"]))) < 1e-4
+
+    # Disabled => no g_fm key, baseline objective unchanged.
+    cfg0 = cfg.replace(feature_matching_weight=0.0)
+    state0 = create_train_state(cfg0)
+    state0, m0 = train_step_fused(cfg0, state0)
+    assert "g_fm" not in m0
+
+
+def test_encoder_features_capacity_knob():
+    from ndivplanning_tpu.train.state import create_train_state, param_count
+
+    cfg_s = get_config("imagecond", batch_size=4, k=4, image_size=16)
+    cfg_l = cfg_s.replace(encoder_features=(32, 64, 128))
+    n_s = param_count(create_train_state(cfg_s).g_params)
+    n_l = param_count(create_train_state(cfg_l).g_params)
+    assert n_l > n_s
