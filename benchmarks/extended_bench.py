@@ -70,7 +70,9 @@ def main():
     results = {
         "imagecond_cpu": torch_cpu_imagecond(),
         "imagecond_tpu": tpu_config("imagecond", chunk=200),
-        "pod_dp_tpu_f32": tpu_config("pod_dp", chunk=50),
+        # The preset defaults to bf16; pin each dtype explicitly.
+        "pod_dp_tpu_f32": tpu_config("pod_dp", chunk=50,
+                                     compute_dtype="f32"),
         "pod_dp_tpu_bf16": tpu_config("pod_dp", chunk=50,
                                       compute_dtype="bf16"),
     }

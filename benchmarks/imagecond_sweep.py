@@ -1,0 +1,85 @@
+"""Imagecond quality sweep (VERDICT round-1 #8).
+
+The conv-conditioned config is the weak learner (52.3% rollout success
+at 50k vs goalcond's 66.8%).  Train short runs of candidate recipes —
+feature matching, encoder capacity, learning-rate splits — across
+multiple seeds (GAN seed variance is large) and score every run on the
+FROZEN eval suite so numbers are comparable.
+
+    python benchmarks/imagecond_sweep.py [steps] [seeds]
+
+Writes benchmarks/imagecond_sweep_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+VARIANTS = {
+    "control": {},
+    "fm1": {"feature_matching_weight": 1.0},
+    "fm1_bigenc": {"feature_matching_weight": 1.0,
+                   "encoder_features": (32, 64, 128)},
+    "bigenc": {"encoder_features": (32, 64, 128)},
+    "ttur": {"d_lr": 2e-3, "g_lr": 5e-4},
+    "fm1_ttur": {"feature_matching_weight": 1.0, "d_lr": 2e-3,
+                 "g_lr": 5e-4},
+}
+
+
+def run_variant(name: str, overrides: dict, steps: int, seeds: int) -> dict:
+    from ndivplanning_tpu.train.evaluate import evaluate_fixed
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.train.step import train_chunk
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("imagecond", dp_shards=1, div_shards=1, **overrides)
+    rows = []
+    t0 = time.monotonic()
+    for seed in range(seeds):
+        state = create_train_state(cfg, seed=seed)
+        state, m = train_chunk(cfg, state, steps)
+        np.asarray(m["g_ndiv"][-1])  # honest sync
+        ev = {k: float(v) for k, v in
+              evaluate_fixed(cfg, state, n_scenes=256).items()}
+        rows.append({"seed": seed, **ev})
+    succ = [r["eval_success_rate"] for r in rows]
+    out = {
+        "variant": name,
+        "overrides": {k: str(v) for k, v in overrides.items()},
+        "steps": steps,
+        "wall_s": round(time.monotonic() - t0, 1),
+        "success_mean": round(float(np.mean(succ)), 4),
+        "success_min": round(float(np.min(succ)), 4),
+        "success_max": round(float(np.max(succ)), 4),
+        "collision_mean": round(float(np.mean(
+            [r["eval_collision_rate"] for r in rows])), 4),
+        "diversity_mean": round(float(np.mean(
+            [r["eval_mean_pairwise_dist"] for r in rows])), 4),
+        "runs": rows,
+    }
+    print(json.dumps({k: v for k, v in out.items() if k != "runs"}),
+          flush=True)
+    return out
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    results = [run_variant(n, o, steps, seeds) for n, o in VARIANTS.items()]
+    path = os.path.join(os.path.dirname(__file__),
+                        "imagecond_sweep_results.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
