@@ -35,6 +35,10 @@ VARIANTS = {
 }
 
 
+CHUNK = 3000  # fixed scan length: one compiled program per variant
+               # regardless of total steps
+
+
 def run_variant(name: str, overrides: dict, steps: int, seeds: int) -> dict:
     from ndivplanning_tpu.train.evaluate import evaluate_fixed
     from ndivplanning_tpu.train.state import create_train_state
@@ -46,7 +50,11 @@ def run_variant(name: str, overrides: dict, steps: int, seeds: int) -> dict:
     t0 = time.monotonic()
     for seed in range(seeds):
         state = create_train_state(cfg, seed=seed)
-        state, m = train_chunk(cfg, state, steps)
+        done = 0
+        while done < steps:
+            n = min(CHUNK, steps - done)
+            state, m = train_chunk(cfg, state, n)
+            done += n
         np.asarray(m["g_ndiv"][-1])  # honest sync
         ev = {k: float(v) for k, v in
               evaluate_fixed(cfg, state, n_scenes=256).items()}
@@ -74,9 +82,12 @@ def run_variant(name: str, overrides: dict, steps: int, seeds: int) -> dict:
 def main() -> None:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    results = [run_variant(n, o, steps, seeds) for n, o in VARIANTS.items()]
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    variants = {n: o for n, o in VARIANTS.items()
+                if only is None or n in only}
+    results = [run_variant(n, o, steps, seeds) for n, o in variants.items()]
     path = os.path.join(os.path.dirname(__file__),
-                        "imagecond_sweep_results.json")
+                        f"imagecond_sweep_results_{steps}.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
 
