@@ -1,0 +1,75 @@
+"""Long-soak convergence on the FROZEN eval protocol (VERDICT r1 #7/#8).
+
+Trains presets for many steps, evaluating on the frozen 512-scene suite
+at a fixed cadence, so the quality-vs-steps curve is honest and
+comparable round-to-round (round 1's 50k numbers used freshly sampled
+eval batches).
+
+    python benchmarks/convergence_fixed.py [steps] [eval_every] [presets...]
+
+Writes benchmarks/convergence_fixed_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(preset: str, steps: int, eval_every: int, overrides: dict) -> dict:
+    from ndivplanning_tpu.train.evaluate import evaluate_fixed
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.train.step import train_chunk
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config(preset, dp_shards=1, div_shards=1, **overrides)
+    state = create_train_state(cfg)
+    curve = []
+    done = 0
+    t0 = time.monotonic()
+    while done < steps:
+        n = min(eval_every, steps - done)
+        state, m = train_chunk(cfg, state, n)
+        done += n
+        ev = {k: float(v) for k, v in
+              evaluate_fixed(cfg, state, n_scenes=512).items()}
+        row = {"step": done,
+               **{k: float(v[-1]) for k, v in m.items()}, **ev}
+        curve.append(row)
+        print(json.dumps({"preset": preset, "step": done,
+                          "success": round(ev["eval_success_rate"], 4),
+                          "collision": round(ev["eval_collision_rate"], 4),
+                          "diversity": round(
+                              ev["eval_mean_pairwise_dist"], 4)}),
+              flush=True)
+    wall = time.monotonic() - t0
+    best = max(curve, key=lambda r: r["eval_success_rate"])
+    return {"preset": preset, "overrides": {k: str(v) for k, v in
+                                            overrides.items()},
+            "steps": steps, "wall_s": round(wall, 1),
+            "final": curve[-1], "best": best, "curve": curve}
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    eval_every = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
+    presets = sys.argv[3:] or ["goalcond", "imagecond"]
+    results = []
+    for p in presets:
+        name, _, ov = p.partition(":")
+        overrides = json.loads(ov) if ov else {}
+        results.append(run(name, steps, eval_every, overrides))
+    path = os.path.join(os.path.dirname(__file__),
+                        "convergence_fixed_results.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,12 @@ VARIANTS = {
     "ttur": {"d_lr": 2e-3, "g_lr": 5e-4},
     "fm1_ttur": {"feature_matching_weight": 1.0, "d_lr": 2e-3,
                  "g_lr": 5e-4},
+    # EMA generator: the standard stabiliser for the measured 0.06-0.73
+    # success oscillation (convergence_fixed_results.json).
+    "ema99": {"g_ema_decay": 0.99},
+    "ema999": {"g_ema_decay": 0.999},
+    "ema999_bigenc": {"g_ema_decay": 0.999,
+                      "encoder_features": (32, 64, 128)},
 }
 
 

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
 from ndivplanning_tpu.envs.types import EnvParams, Scene
 from ndivplanning_tpu.ops.pairwise import pairwise_l2
-from ndivplanning_tpu.train.state import TrainState, build_models
+from ndivplanning_tpu.train.state import (
+    TrainState,
+    build_models,
+    gen_params,
+)
 from ndivplanning_tpu.utils.config import Config
 
 
@@ -75,7 +79,9 @@ def generate_candidates(cfg: Config, state: TrainState,
     for one condition (shared by open-loop planning and MPC replanning)."""
     gen, _ = build_models(cfg)
     z = jax.random.normal(key, (1, n, cfg.latent_dim))
-    return gen.apply(state.g_params, condition[None], z)[0]
+    # EMA weights when tracked (gen_params): planning quality should see
+    # the smoothed generator, not the oscillating live one.
+    return gen.apply(gen_params(cfg, state), condition[None], z)[0]
 
 
 def score_rollouts(cfg: Config, scene: Scene, taus: jnp.ndarray,

@@ -22,7 +22,11 @@ from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
 from ndivplanning_tpu.envs.types import EnvParams
 from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
 from ndivplanning_tpu.ops.pairwise import pairwise_l2
-from ndivplanning_tpu.train.state import TrainState, build_models
+from ndivplanning_tpu.train.state import (
+    TrainState,
+    build_models,
+    gen_params,
+)
 from ndivplanning_tpu.utils.config import Config
 
 
@@ -82,7 +86,8 @@ def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch):
     eval_batch = batch.real_traj.shape[0]
     gen, _ = build_models(cfg)
     z = jax.random.normal(k_z, (eval_batch, cfg.k, cfg.latent_dim))
-    taus = gen.apply(state.g_params, batch.conditions, z)  # [B, k, H, S]
+    taus = gen.apply(gen_params(cfg, state), batch.conditions,
+                     z)  # [B, k, H, S]
     flat = taus.reshape(eval_batch, cfg.k, -1)
 
     # Diversity

@@ -87,6 +87,14 @@ class TrainState:
     d_params: dict
     g_opt_state: optax.OptState
     d_opt_state: optax.OptState
+    # EMA of g_params (cfg.g_ema_decay > 0); equals g_params otherwise.
+    g_ema_params: dict
+
+
+def gen_params(cfg: Config, state: TrainState):
+    """The generator params eval/planning should use: the EMA weights
+    when the config tracks them, the live weights otherwise."""
+    return state.g_ema_params if cfg.g_ema_decay > 0 else state.g_params
 
 
 def build_models(cfg: Config):
@@ -124,6 +132,9 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
         d_params=d_params,
         g_opt_state=g_tx.init(g_params),
         d_opt_state=d_tx.init(d_params),
+        # Distinct buffers, not an alias: the fused step donates the
+        # whole state, and XLA rejects donating one buffer twice.
+        g_ema_params=jax.tree.map(jnp.copy, g_params),
     )
 
 

@@ -140,6 +140,13 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
                                          state.g_params)
     g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
 
+    # EMA of G (decay 0 reduces to a copy, so the program shape is
+    # uniform across configs; eval/planning read gen_params()).
+    d_ema = cfg.g_ema_decay
+    g_ema_params = jax.tree.map(
+        lambda e, p: d_ema * e + (1.0 - d_ema) * p,
+        state.g_ema_params, g_params)
+
     new_state = TrainState(
         step=state.step + 1,
         rng=rng,
@@ -147,6 +154,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         d_params=d_params,
         g_opt_state=g_opt_state,
         d_opt_state=d_opt_state,
+        g_ema_params=g_ema_params,
     )
     metrics = {
         "d_loss": d_loss_val,

@@ -57,6 +57,12 @@ class Config:
     d_lr: float = 1e-3
     adam_b1: float = 0.5  # GAN-standard beta1
     adam_b2: float = 0.999
+    # Exponential moving average of the generator weights (the standard
+    # GAN stabiliser): eval/planning use the EMA params when > 0.  GAN
+    # quality oscillates hard over training (measured 0.06-0.73 success
+    # swings on imagecond, benchmarks/convergence_fixed_results.json);
+    # the EMA generator smooths that out.  0 disables.
+    g_ema_decay: float = 0.0
     steps: int = 10_000
 
     # Planning / eval

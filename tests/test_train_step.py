@@ -119,3 +119,39 @@ def test_encoder_features_capacity_knob():
     n_s = param_count(create_train_state(cfg_s).g_params)
     n_l = param_count(create_train_state(cfg_l).g_params)
     assert n_l > n_s
+
+
+def test_g_ema_tracks_and_drives_eval():
+    """g_ema_decay > 0: EMA params trail the live params and are what
+    eval/planning consume (gen_params)."""
+    import jax
+
+    from ndivplanning_tpu.train.state import (
+        create_train_state,
+        gen_params,
+    )
+    from ndivplanning_tpu.train.step import train_step_fused
+
+    cfg = get_config("goalcond", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, g_ema_decay=0.9)
+    state = create_train_state(cfg)
+    p0 = jax.tree.leaves(state.g_params)[0].copy()
+    for _ in range(3):
+        state, _ = train_step_fused(cfg, state)
+    live = jax.tree.leaves(state.g_params)[0]
+    ema = jax.tree.leaves(state.g_ema_params)[0]
+    # EMA moved off init but lags the live params.
+    assert not np.allclose(np.asarray(ema), np.asarray(p0))
+    assert not np.allclose(np.asarray(ema), np.asarray(live))
+    assert np.linalg.norm(np.asarray(ema) - np.asarray(p0)) < \
+        np.linalg.norm(np.asarray(live) - np.asarray(p0))
+    assert gen_params(cfg, state) is state.g_ema_params
+
+    # decay == 0: EMA degenerates to the live params, eval uses live.
+    cfg0 = cfg.replace(g_ema_decay=0.0)
+    s0 = create_train_state(cfg0)
+    s0, _ = train_step_fused(cfg0, s0)
+    for a, b in zip(jax.tree.leaves(s0.g_params),
+                    jax.tree.leaves(s0.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert gen_params(cfg0, s0) is s0.g_params
