@@ -46,12 +46,23 @@ def _build_config(args):
     return get_config(args.preset, **overrides)
 
 
-def _load_state(cfg):
-    """Fresh state, replaced by the latest workdir checkpoint if present."""
+def _load_state(cfg, prefer_best: bool = True):
+    """Fresh state, replaced by a workdir checkpoint if present.
+
+    Serving/eval/planning prefer ``<workdir>/best`` (the best-by-eval
+    checkpoint train() tracks) over the latest one — GAN quality
+    oscillates, so the newest params are often not the best ones.
+    """
+    import os
+
     from ndivplanning_tpu.train.state import create_train_state
     from ndivplanning_tpu.utils import checkpoint as ckpt
 
     state = create_train_state(cfg)
+    if prefer_best and cfg.workdir:
+        best = ckpt.restore_latest(os.path.join(cfg.workdir, "best"), state)
+        if best is not None:
+            return best
     restored = ckpt.restore_latest(cfg.workdir, state)
     return restored if restored is not None else state
 

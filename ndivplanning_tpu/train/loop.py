@@ -8,12 +8,13 @@ killed run resumes its exact bitwise loss curve (SURVEY.md §5).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
 import jax
 
-from ndivplanning_tpu.train.evaluate import evaluate
+from ndivplanning_tpu.train.evaluate import evaluate_fixed
 from ndivplanning_tpu.train.state import TrainState, create_train_state
 from ndivplanning_tpu.train.step import train_chunk, train_step_fused
 from ndivplanning_tpu.utils import checkpoint as ckpt
@@ -79,6 +80,7 @@ def train(cfg: Config, num_steps: Optional[int] = None,
 
     step = int(state.step)
     steps_since_log = 0
+    best_metric = None
     try:
         while step < num_steps:
             target = next_boundary(step)
@@ -112,11 +114,19 @@ def train(cfg: Config, num_steps: Optional[int] = None,
                 ckpt.save_checkpoint(workdir, state)
             if (cfg.eval_every and step % cfg.eval_every == 0
                     and step < num_steps):
-                eval_key = jax.random.fold_in(
-                    jax.random.PRNGKey(cfg.seed + 1), step)
-                ev = {k: float(v) for k, v in
-                      evaluate(cfg, state, eval_key).items()}
+                # Frozen-suite eval: step-to-step comparable numbers
+                # (sampled eval is available via evaluate()).
+                ev = {k: float(v) for k, v in evaluate_fixed(
+                    cfg, state, n_scenes=cfg.eval_suite_scenes).items()}
                 writer.write(step, ev, kind="eval")
+                # Keep the best checkpoint by the tracked metric: GAN
+                # quality oscillates, so last != best.
+                metric = ev.get(cfg.track_best_metric)
+                if (workdir and cfg.track_best_metric and metric is not None
+                        and (best_metric is None or metric > best_metric)):
+                    best_metric = metric
+                    ckpt.save_checkpoint(
+                        os.path.join(workdir, "best"), state)
 
         # Compile-budget log (one line): how many XLA programs this run
         # actually compiled — major ones cost 90-300 s each on the TPU

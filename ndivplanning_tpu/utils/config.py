@@ -69,6 +69,13 @@ class Config:
     rollout_mode: str = "waypoints"  # waypoints | actions
     n_candidates: int = 1000
     eval_every: int = 500
+    # Periodic eval runs on a frozen suite of this many scenes (step-to-
+    # step comparable); the best checkpoint by ``track_best_metric`` is
+    # kept under <workdir>/best ("" disables tracking).  GAN quality
+    # oscillates hard over training, so the best checkpoint routinely
+    # beats the last one (BASELINE.md round 2).
+    eval_suite_scenes: int = 128
+    track_best_metric: str = "eval_success_rate"
 
     # Parallelism (SURVEY.md §2 parallelism table)
     dp_shards: int = 1  # data-parallel mesh axis
