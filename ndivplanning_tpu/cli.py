@@ -67,6 +67,27 @@ def _load_state(cfg, prefer_best: bool = True):
     return restored if restored is not None else state
 
 
+def _maybe_profiled(args, fn):
+    """Run ``fn`` under a jax.profiler trace when --profile-dir is set.
+
+    Returns fn's result, or None when tracing is unsupported on this
+    backend (the axon dev tunnel, where start_trace hangs) — fail fast
+    with the alternative instead of wedging.
+    """
+    if not args.profile_dir:
+        return fn()
+    import sys
+
+    from ndivplanning_tpu.utils.profiling import trace
+
+    try:
+        with trace(args.profile_dir):
+            return fn()
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return None
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -122,30 +143,26 @@ def main(argv=None) -> int:
         if args.eval_fraction > 0:
             ds, eval_ds = train_eval_split(ds, args.eval_fraction,
                                            seed=cfg.seed)
-        state, last = train_from_dataset(
-            cfg, ds, num_epochs=args.epochs, workdir=cfg.workdir,
-            echo=True, eval_dataset=eval_ds)
+
+        def run_dataset():
+            return train_from_dataset(
+                cfg, ds, num_epochs=args.epochs, workdir=cfg.workdir,
+                echo=True, eval_dataset=eval_ds)
+
+        result = _maybe_profiled(args, run_dataset)
+        if result is None:
+            return 2
+        state, last = result
         print(json.dumps({"final_step": int(state.step), "last": last}))
         return 0
 
     if args.cmd == "train":
         from ndivplanning_tpu.train.loop import train
 
-        if args.profile_dir:
-            import sys
-
-            from ndivplanning_tpu.utils.profiling import trace
-
-            try:
-                with trace(args.profile_dir):
-                    state, history = train(cfg)
-            except RuntimeError as e:
-                # e.g. the axon dev tunnel, where start_trace hangs —
-                # fail fast with the alternative instead of wedging.
-                print(f"error: {e}", file=sys.stderr)
-                return 2
-        else:
-            state, history = train(cfg)
+        result = _maybe_profiled(args, lambda: train(cfg))
+        if result is None:
+            return 2
+        state, history = result
         print(json.dumps({"final_step": int(state.step),
                           "last": history[-1] if history else None}))
         return 0

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import select
 import sys
 import time
@@ -131,27 +132,86 @@ def handle_request(cfg: Config, state: TrainState, request: dict,
     return handle_batch(cfg, state, [request], key, n_diverse=n_diverse)[0]
 
 
-def _drain_available(stdin: IO[str], max_n: int) -> list[str]:
-    """Read up to ``max_n`` immediately-available extra lines without
-    blocking: ``select`` on real file descriptors, direct read-ahead on
-    in-memory streams (which never block)."""
-    out: list[str] = []
-    try:
-        fd = stdin.fileno()
-        selectable = True
-    except (AttributeError, OSError, ValueError,
-            io.UnsupportedOperation):
-        selectable = False
-    while len(out) < max_n:
-        if selectable:
-            ready, _, _ = select.select([fd], [], [], 0)
+class _LineSource:
+    """Line reader with an honest non-blocking drain.
+
+    For real file descriptors we read the RAW fd ourselves (select +
+    os.read into our own buffer): checking ``select`` while using the
+    TextIOWrapper's ``readline`` misses lines the wrapper has already
+    buffered — a 16-line burst written in one ``write()`` would be
+    pulled into the wrapper's buffer by the first ``readline`` and the
+    kernel buffer would look empty, so coalescing would silently never
+    engage on the exact production path it was built for.  Streams
+    without a usable fd (StringIO tests) fall back to ``readline``,
+    which never blocks there.
+    """
+
+    def __init__(self, stdin: IO[str]):
+        self._stdin = stdin
+        self._buf = b""
+        self._eof = False
+        try:
+            self._fd: int | None = stdin.fileno()
+        except (AttributeError, OSError, ValueError,
+                io.UnsupportedOperation):
+            self._fd = None
+
+    def _pop_line(self) -> str | None:
+        i = self._buf.find(b"\n")
+        if i < 0:
+            if self._eof and self._buf:
+                line, self._buf = self._buf, b""
+                return line.decode("utf-8", errors="replace")
+            return None
+        line, self._buf = self._buf[:i + 1], self._buf[i + 1:]
+        return line.decode("utf-8", errors="replace")
+
+    def _fill(self, block: bool) -> bool:
+        """Read once from the fd into the buffer; returns False when no
+        data was (or will be) available."""
+        if self._eof:
+            return False
+        if not block:
+            ready, _, _ = select.select([self._fd], [], [], 0)
             if not ready:
+                return False
+        chunk = os.read(self._fd, 65536)
+        if chunk == b"":
+            self._eof = True
+            return False
+        self._buf += chunk
+        return True
+
+    def readline(self) -> str:
+        """Next line, blocking; '' at EOF (matching io semantics)."""
+        if self._fd is None:
+            return self._stdin.readline()
+        while True:
+            line = self._pop_line()
+            if line is not None:
+                return line
+            if self._eof:
+                return ""
+            self._fill(block=True)
+
+    def drain(self, max_n: int) -> list[str]:
+        """Up to ``max_n`` immediately-available lines, never blocking."""
+        out: list[str] = []
+        if self._fd is None:
+            while len(out) < max_n:
+                line = self._stdin.readline()
+                if line == "":
+                    break
+                out.append(line)
+            return out
+        while len(out) < max_n:
+            line = self._pop_line()
+            if line is not None:
+                out.append(line)
+                continue
+            if not self._fill(block=False):
                 break
-        line = stdin.readline()
-        if line == "":
-            break
-        out.append(line)
-    return out
+        return out
 
 
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
@@ -164,14 +224,15 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     pending lines additionally coalesce into shared dispatches.
     """
     key = jax.random.PRNGKey(seed)
+    source = _LineSource(stdin)
     n = 0
     stop = False
     while not stop:
-        first = stdin.readline()
+        first = source.readline()
         if first == "":
             break
         lines = [first]
-        lines += _drain_available(stdin, max_coalesce - 1)
+        lines += source.drain(max_coalesce - 1)
 
         # units: per answered line, (kind, payload) where kind is
         # "single" | "list" | "error"
@@ -197,6 +258,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
                 units.append(("single", 1))
                 flat.append(parsed)
 
+        answers: list[dict] = []
         if flat:
             key, sub = jax.random.split(key)
             answers = handle_batch(cfg, state, flat, sub)

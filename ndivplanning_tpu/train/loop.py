@@ -22,6 +22,60 @@ from ndivplanning_tpu.utils.config import Config
 from ndivplanning_tpu.utils.metrics import MetricsWriter
 
 
+def _dataset_marker_path(workdir: str) -> str:
+    return os.path.join(workdir, "dataset_run.json")
+
+
+def _dataset_fingerprint(dataset, cfg: Config) -> dict:
+    return {"dataset_size": int(dataset.size),
+            "batch_size": int(cfg.batch_size),
+            "seed": int(cfg.seed),
+            "arrays": sorted(dataset.arrays)}
+
+
+def _write_dataset_marker(workdir: str, dataset, cfg: Config) -> None:
+    import json
+
+    os.makedirs(workdir, exist_ok=True)
+    with open(_dataset_marker_path(workdir), "w", encoding="utf-8") as f:
+        json.dump(_dataset_fingerprint(dataset, cfg), f)
+
+
+def _check_dataset_marker(workdir: str, dataset, cfg: Config) -> None:
+    import json
+
+    path = _dataset_marker_path(workdir)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"workdir {workdir!r} holds a checkpoint but no dataset-run "
+            "marker: it was trained by a different path (e.g. the "
+            "on-device sampler), and its step counter cannot be used as "
+            "a position in this dataset. Use a fresh --workdir or "
+            "restore=False.")
+    with open(path, encoding="utf-8") as f:
+        marker = json.load(f)
+    want = _dataset_fingerprint(dataset, cfg)
+    if marker != want:
+        raise ValueError(
+            f"workdir {workdir!r} was trained on a different dataset "
+            f"run ({marker} != {want}); resuming would misalign the "
+            "deterministic batch order. Use a fresh --workdir.")
+
+
+# Metrics where smaller is better; everything else is maximised by the
+# best-checkpoint tracker.
+_LOWER_BETTER = frozenset({
+    "eval_endpoint_err", "eval_collision_rate", "eval_ndiv",
+    "eval_mean_score",
+})
+
+
+def _improved(name: str, value: float, best: Optional[float]) -> bool:
+    if best is None:
+        return True
+    return value < best if name in _LOWER_BETTER else value > best
+
+
 def train(cfg: Config, num_steps: Optional[int] = None,
           workdir: Optional[str] = None, restore: bool = True,
           echo: bool = True):
@@ -123,7 +177,8 @@ def train(cfg: Config, num_steps: Optional[int] = None,
                 # quality oscillates, so last != best.
                 metric = ev.get(cfg.track_best_metric)
                 if (workdir and cfg.track_best_metric and metric is not None
-                        and (best_metric is None or metric > best_metric)):
+                        and _improved(cfg.track_best_metric, metric,
+                                      best_metric)):
                     best_metric = metric
                     ckpt.save_checkpoint(
                         os.path.join(workdir, "best"), state)
@@ -244,6 +299,11 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
     if restore and workdir:
         restored = ckpt.restore_latest(workdir, state)
         if restored is not None:
+            # state.step is interpreted as a POSITION in this dataset's
+            # deterministic batch order; a checkpoint from some other
+            # run (e.g. the sampler path) would silently skip data or
+            # no-op, so refuse anything the marker doesn't vouch for.
+            _check_dataset_marker(workdir, dataset, cfg)
             state = restored
 
     mesh = None
@@ -253,13 +313,11 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
 
         mesh = make_mesh(cfg=cfg)
         state = shard_state(state, mesh)
-    chunk_fns: dict[int, object] = {}
-
-    def run_chunk(state, batch_stack):
-        n = jax.tree.leaves(batch_stack)[0].shape[0]
-        if n not in chunk_fns:
-            chunk_fns[n] = _make_dataset_chunk_step(cfg, mesh)
-        return chunk_fns[n](state, batch_stack)
+    if workdir:
+        _write_dataset_marker(workdir, dataset, cfg)
+    # One jitted chunk fn: jit re-specialises per stack shape on its own,
+    # so no per-chunk-size bookkeeping is needed here.
+    run_chunk = _make_dataset_chunk_step(cfg, mesh)
 
     def to_batch(host: dict) -> Batch:
         return Batch(

@@ -33,17 +33,46 @@ def restore_latest(workdir: str, state_template):
     """Restore the newest checkpoint into ``state_template``'s structure.
 
     Returns the restored state, or None if no checkpoint exists.
+
+    Migration: checkpoints written before ``TrainState.g_ema_params``
+    existed restore with the EMA slot initialised from the restored
+    ``g_params`` (a fresh copy — the donated step must not see aliased
+    buffers), instead of failing on the tree-structure mismatch.
     """
     mgr = _manager(workdir)
     step = mgr.latest_step()
     if step is None:
         mgr.close()
         return None
-    restored = mgr.restore(
-        step, args=ocp.args.StandardRestore(state_template)
-    )
+    try:
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+    except ValueError:
+        restored = _restore_legacy(mgr, step, state_template)
     mgr.close()
     return restored
+
+
+def _restore_legacy(mgr, step: int, state_template):
+    """Restore a pre-g_ema_params checkpoint into the current TrainState."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    legacy_fields = [f.name for f in dataclasses.fields(state_template)
+                     if f.name != "g_ema_params"]
+    legacy_template = {name: getattr(state_template, name)
+                       for name in legacy_fields}
+    restored = mgr.restore(
+        step, args=ocp.args.StandardRestore(legacy_template)
+    )
+    return dataclasses.replace(
+        state_template,
+        **restored,
+        g_ema_params=jax.tree.map(jnp.copy, restored["g_params"]),
+    )
 
 
 def latest_step(workdir: str) -> int | None:

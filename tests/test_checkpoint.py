@@ -66,3 +66,33 @@ def test_restore_none_when_empty(tmp_path):
     cfg = _cfg(tmp_path / "empty")
     template = create_train_state(cfg)
     assert ckpt.restore_latest(cfg.workdir, template) is None
+
+
+def test_legacy_checkpoint_without_ema_restores(tmp_path):
+    """Checkpoints written before TrainState.g_ema_params existed must
+    restore with the EMA slot seeded from g_params (round-2 review)."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    import jax
+
+    cfg = _cfg(tmp_path)
+    state = create_train_state(cfg)
+    legacy = {f.name: getattr(state, f.name)
+              for f in dataclasses.fields(state)
+              if f.name != "g_ema_params"}
+    path = str(tmp_path / "checkpoints")
+    mgr = ocp.CheckpointManager(path)
+    mgr.save(0, args=ocp.args.StandardSave(legacy))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    restored = ckpt.restore_latest(str(tmp_path), state)
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(restored.g_params),
+                    jax.tree.leaves(restored.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Restored state trains (no aliased-donation crash).
+    s2, _ = train_step_fused(cfg, restored)
+    assert int(s2.step) == 1

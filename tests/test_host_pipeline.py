@@ -206,3 +206,25 @@ def test_train_from_dataset_sharded_mesh(tmp_path):
     assert int(state.step) == ds.size // cfg.batch_size
     for k_, v in last.items():
         assert np.isfinite(float(v)), k_
+
+
+def test_dataset_resume_rejects_foreign_workdir(tmp_path):
+    """A workdir checkpointed by the sampler path must not silently
+    resume a dataset run (round-2 review finding)."""
+    from ndivplanning_tpu.data.host_pipeline import record_dataset
+    from ndivplanning_tpu.train.loop import train, train_from_dataset
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("pointmass2d", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, log_every=4,
+                     checkpoint_every=4, eval_every=0)
+    wd = str(tmp_path / "sampler_run")
+    train(cfg, num_steps=4, workdir=wd, echo=False)  # sampler checkpoint
+
+    path = str(tmp_path / "rec.npz")
+    record_dataset(cfg, 32, path)
+    from ndivplanning_tpu.data.host_pipeline import ArrayDataset
+
+    ds = ArrayDataset.from_npz(path)
+    with pytest.raises(ValueError, match="dataset-run marker"):
+        train_from_dataset(cfg, ds, num_epochs=1, workdir=wd)

@@ -93,3 +93,42 @@ def test_batch_error_isolation():
     assert "best_score" in out[0]
     assert "error" in out[1]
     assert "best_score" in out[2]
+
+
+def test_empty_array_request():
+    # '[]' as first line must answer '[]', not crash the loop (round-2
+    # review finding).
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    stdin = io.StringIO("[]\n"
+                        + json.dumps({"start": [0.1, 0.1],
+                                      "goal": [0.9, 0.9]}) + "\nquit\n")
+    stdout = io.StringIO()
+    served = serve(cfg, state, stdin=stdin, stdout=stdout)
+    assert served == 2
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert lines[0] == []
+    assert "best_score" in lines[1]
+
+
+def test_burst_coalesces_through_real_pipe():
+    """Coalescing must engage when a burst arrives via a REAL pipe in one
+    write: the raw-fd reader sees lines the TextIOWrapper would have
+    hidden in its buffer (round-2 review finding)."""
+    import os
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    r_fd, w_fd = os.pipe()
+    lines = [json.dumps({"start": [0.05 + 0.05 * i, 0.1],
+                         "goal": [0.9, 0.9]}) for i in range(4)]
+    payload = ("\n".join(lines) + "\nquit\n").encode()
+    os.write(w_fd, payload)
+    os.close(w_fd)
+    with os.fdopen(r_fd, "r") as stdin:
+        stdout = io.StringIO()
+        served = serve(cfg, state, stdin=stdin, stdout=stdout)
+    assert served == 4
+    outs = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert all(o["batch_size"] == 4 for o in outs), \
+        [o["batch_size"] for o in outs]
