@@ -14,7 +14,10 @@ import jax
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--preset", default="pointmass2d")
+    # Default preset resolves in _build_config: a --workdir holding a
+    # train run's recorded config.json is the base when --preset is not
+    # given explicitly; bare default is pointmass2d.
+    p.add_argument("--preset", default=None)
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--steps", type=int, default=None)
@@ -28,10 +31,51 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="write a jax.profiler trace of the run here")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (numerics sanitizer)")
+    p.add_argument("--set", action="append", default=[], dest="set_overrides",
+                   metavar="FIELD=VALUE",
+                   help="generic Config field override, typed from the "
+                        "dataclass (e.g. --set lr_schedule=cosine "
+                        "--set warmup_steps=500 --set g_hidden=512,512)")
+
+
+def _parse_field_value(field: str, raw: str):
+    """Convert a --set VALUE string per the Config dataclass field type."""
+    import dataclasses
+    import typing
+
+    from ndivplanning_tpu.utils.config import Config
+
+    types = {f.name: f.type for f in dataclasses.fields(Config)}
+    if field not in types:
+        raise SystemExit(
+            f"--set: unknown config field {field!r}; "
+            f"choose from {sorted(types)}")
+    t = types[field]
+    t = typing.get_type_hints(Config).get(field, t) if isinstance(t, str) else t
+    origin = typing.get_origin(t)
+    try:
+        if t is bool:
+            if raw.lower() in ("1", "true", "yes"):
+                return True
+            if raw.lower() in ("0", "false", "no"):
+                return False
+            raise ValueError(raw)
+        if t is int:
+            return int(raw)
+        if t is float:
+            return float(raw)
+        if origin is tuple:
+            elem = typing.get_args(t)[0]
+            return tuple(elem(v) for v in raw.split(",") if v != "")
+        return raw  # str fields
+    except ValueError:
+        raise SystemExit(
+            f"--set: cannot parse {raw!r} as {t} for field {field!r}"
+        ) from None
 
 
 def _build_config(args):
-    from ndivplanning_tpu.utils.config import get_config
+    from ndivplanning_tpu.utils.config import get_config, load_config
 
     overrides = {}
     for field, attr in [
@@ -43,7 +87,22 @@ def _build_config(args):
         v = getattr(args, attr)
         if v is not None:
             overrides[field] = v
-    return get_config(args.preset, **overrides)
+    for kv in getattr(args, "set_overrides", []):
+        field, sep, raw = kv.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects FIELD=VALUE, got {kv!r}")
+        overrides[field] = _parse_field_value(field, raw)
+
+    # A workdir that holds a train run's recorded config is the base:
+    # eval/plan/serve (and train resumes) get the exact config — and
+    # therefore the exact TrainState/optimizer schema — that produced
+    # the checkpoints, with explicit flags overriding on top.  An
+    # explicit --preset naming a DIFFERENT preset opts out.
+    recorded = load_config(args.workdir) if args.workdir else None
+    if recorded is not None and (args.preset is None
+                                 or args.preset == recorded.name):
+        return recorded.replace(**overrides)
+    return get_config(args.preset or "pointmass2d", **overrides)
 
 
 def _load_state(cfg, prefer_best: bool = True):

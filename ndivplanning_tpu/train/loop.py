@@ -98,6 +98,12 @@ def train(cfg: Config, num_steps: Optional[int] = None,
         restored = ckpt.restore_latest(workdir, state)
         if restored is not None:
             state = restored
+    if workdir:
+        # Record the config so eval/plan/serve rebuild the same
+        # TrainState schema without retyping flags (utils/config.py).
+        from ndivplanning_tpu.utils.config import save_config
+
+        save_config(cfg, workdir)
 
     # Multi-device configs route through the sharded step (parallel/).
     sharded = cfg.dp_shards * cfg.div_shards > 1
@@ -314,7 +320,10 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
         mesh = make_mesh(cfg=cfg)
         state = shard_state(state, mesh)
     if workdir:
+        from ndivplanning_tpu.utils.config import save_config
+
         _write_dataset_marker(workdir, dataset, cfg)
+        save_config(cfg, workdir)
     # One jitted chunk fn: jit re-specialises per stack shape on its own,
     # so no per-chunk-size bookkeeping is needed here.
     run_chunk = _make_dataset_chunk_step(cfg, mesh)

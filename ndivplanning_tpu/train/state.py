@@ -102,10 +102,40 @@ def build_models(cfg: Config):
     return ConditionedGenerator(cfg), ConditionedDiscriminator(cfg)
 
 
+def lr_schedule(cfg: Config, peak: float):
+    """The LR schedule for one optimizer chain: a plain float for the
+    default constant/no-warmup case (keeps the optimizer state schema —
+    and therefore old checkpoints — unchanged), an optax schedule
+    callable otherwise.  Decay horizon is ``cfg.steps``; a resumed run
+    restores the schedule position via the checkpointed Adam count."""
+    if cfg.lr_schedule == "constant" and cfg.warmup_steps == 0:
+        return peak
+    decay_steps = max(cfg.steps - cfg.warmup_steps, 1)
+    end = peak * cfg.lr_final_ratio
+    if cfg.lr_schedule == "constant":
+        main = optax.constant_schedule(peak)
+    elif cfg.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(peak, decay_steps,
+                                           alpha=cfg.lr_final_ratio)
+    elif cfg.lr_schedule == "linear":
+        main = optax.linear_schedule(peak, end, decay_steps)
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {cfg.lr_schedule!r}; "
+            "choose from ['constant', 'cosine', 'linear']")
+    if cfg.warmup_steps == 0:
+        return main
+    warmup = optax.linear_schedule(0.0, peak, cfg.warmup_steps)
+    return optax.join_schedules([warmup, main], [cfg.warmup_steps])
+
+
 def build_optimizers(cfg: Config):
-    """Separate Adam chains for G and D (SURVEY.md §2 C11)."""
-    g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
-    d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    """Separate Adam chains for G and D (SURVEY.md §2 C11), each riding
+    the config's LR schedule from its own peak LR."""
+    g_tx = optax.adam(lr_schedule(cfg, cfg.g_lr),
+                      b1=cfg.adam_b1, b2=cfg.adam_b2)
+    d_tx = optax.adam(lr_schedule(cfg, cfg.d_lr),
+                      b1=cfg.adam_b1, b2=cfg.adam_b2)
     return g_tx, d_tx
 
 

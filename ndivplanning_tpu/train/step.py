@@ -26,6 +26,7 @@ from ndivplanning_tpu.train.state import (
     TrainState,
     build_models,
     build_optimizers,
+    lr_schedule,
 )
 from ndivplanning_tpu.utils.config import Config
 
@@ -164,6 +165,10 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     }
     if fm_w > 0:
         metrics["g_fm"] = g_fm
+    g_sched = lr_schedule(cfg, cfg.g_lr)
+    if callable(g_sched):
+        # One update per step, so the schedule position == state.step.
+        metrics["g_lr"] = jnp.asarray(g_sched(state.step), jnp.float32)
     return new_state, metrics
 
 

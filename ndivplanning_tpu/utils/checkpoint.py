@@ -49,7 +49,17 @@ def restore_latest(workdir: str, state_template):
             step, args=ocp.args.StandardRestore(state_template)
         )
     except ValueError:
-        restored = _restore_legacy(mgr, step, state_template)
+        try:
+            restored = _restore_legacy(mgr, step, state_template)
+        except ValueError as e:
+            mgr.close()
+            raise ValueError(
+                f"checkpoint in {workdir!r} does not match the current "
+                "config's TrainState schema (e.g. a different "
+                "lr_schedule changes the optimizer state structure). "
+                "Pass the config that trained it — the CLI picks up "
+                "<workdir>/config.json automatically when present."
+            ) from e
     mgr.close()
     return restored
 

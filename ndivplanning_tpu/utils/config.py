@@ -57,6 +57,13 @@ class Config:
     d_lr: float = 1e-3
     adam_b1: float = 0.5  # GAN-standard beta1
     adam_b2: float = 0.999
+    # Learning-rate schedule over ``steps`` (applies to both G and D,
+    # each scaled from its own peak LR above): "constant" | "cosine" |
+    # "linear".  ``warmup_steps`` linearly ramps 0 -> peak first;
+    # decaying schedules land on ``lr_final_ratio * peak`` at ``steps``.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_final_ratio: float = 0.0
     # Exponential moving average of the generator weights (the standard
     # GAN stabiliser): eval/planning use the EMA params when > 0.  GAN
     # quality oscillates hard over training (measured 0.06-0.73 success
@@ -140,3 +147,46 @@ def get_config(preset: str, **overrides) -> Config:
             f"unknown preset {preset!r}; choose from {sorted(PRESETS)}"
         ) from None
     return cfg.replace(**overrides) if overrides else cfg
+
+
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a Config from its JSON dict (tuples arrive as lists)."""
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    kw = {}
+    for name, value in d.items():
+        if name not in fields:
+            continue  # forward compatibility: ignore unknown fields
+        if isinstance(value, list):
+            value = tuple(value)
+        kw[name] = value
+    return Config(**kw)
+
+
+def _config_path(workdir: str) -> str:
+    import os
+
+    return os.path.join(workdir, "config.json")
+
+
+def save_config(cfg: Config, workdir: str) -> None:
+    """Record the run's full config as ``<workdir>/config.json`` so
+    eval/plan/serve can rebuild the exact TrainState schema (optimizer
+    structure included) without the user retyping every flag."""
+    import json
+    import os
+
+    os.makedirs(workdir, exist_ok=True)
+    with open(_config_path(workdir), "w", encoding="utf-8") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+
+
+def load_config(workdir: str) -> Config | None:
+    """The config recorded by a train run in ``workdir``, or None."""
+    import json
+    import os
+
+    path = _config_path(workdir)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return config_from_dict(json.load(f))
