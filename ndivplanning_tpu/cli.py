@@ -150,12 +150,19 @@ def _maybe_profiled(args, fn):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "eval", "plan", "serve", "viz", "record-data"):
+    for name in ("train", "eval", "plan", "serve", "viz", "record-data",
+                 "export"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "viz":
             p.add_argument("--out", default="plan.png",
                            help="output PNG path")
+        if name == "export":
+            p.add_argument("--out", required=True,
+                           help="output directory for the StableHLO "
+                                "deployment bundle")
+            p.add_argument("--n-candidates", type=int, default=None)
+            p.add_argument("--n-diverse", type=int, default=8)
         if name == "eval":
             p.add_argument("--sampled", action="store_true",
                            help="sample a fresh eval batch instead of "
@@ -275,6 +282,19 @@ def main(argv=None) -> int:
                           highlight=result.best_traj)
         print(json.dumps({"out": args.out,
                           "best_score": float(result.best_score)}))
+        return 0
+
+    if args.cmd == "export":
+        from ndivplanning_tpu.utils.export import export_bundle
+
+        state = _load_state(cfg)
+        manifest = export_bundle(cfg, state, args.out,
+                                 n_candidates=args.n_candidates,
+                                 n_diverse=args.n_diverse)
+        print(json.dumps({"out": args.out,
+                          "step": manifest["step"],
+                          "generator_bytes": manifest["generator"]["bytes"],
+                          "planner_bytes": manifest["planner"]["bytes"]}))
         return 0
 
     if args.cmd == "serve":

@@ -1,0 +1,160 @@
+"""Deployment export via ``jax.export`` (SURVEY.md §2 L7 "as-a-service"
+shape, BASELINE.json serving surface).
+
+Serializes the two inference surfaces to portable StableHLO artifacts —
+trained parameters baked in as constants — so a serving deployment can
+run them with NOTHING but jax installed: no model code, no flax, no
+checkpoint plumbing.  Artifacts are lowered for BOTH cpu and tpu
+platforms and use a symbolic batch dimension, so one export serves any
+request batch size on either backend.
+
+Artifact layout (``export_bundle``):
+
+    <out_dir>/generator.stablehlo   (conditions[b,...], z[b,n,zdim]) -> traj[b,n,H,S]
+    <out_dir>/planner.stablehlo     (conditions[b,...], start[b,2], goal[b,2],
+                                     obstacles[b,M,3], obstacle_mask[b,M],
+                                     seeds[b] i32)
+                                    -> (best_traj[b,H,S], best_score[b],
+                                        best_reached[b], diverse_trajs[b,m,H,S])
+    <out_dir>/manifest.json         config + entry signatures
+
+The planner artifact contains the WHOLE sim-in-the-loop pipeline —
+candidate generation, vmapped ``lax.scan`` rollouts, scoring, diverse
+top-m selection — as one program (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ndivplanning_tpu.utils.config import Config
+
+GENERATOR_FILE = "generator.stablehlo"
+PLANNER_FILE = "planner.stablehlo"
+MANIFEST_FILE = "manifest.json"
+
+_PLATFORMS = ("cpu", "tpu")
+
+
+def _condition_struct(cfg: Config, b):
+    """ShapeDtypeStruct of the raw condition input with batch dim ``b``."""
+    from ndivplanning_tpu.models.conditioning import condition_input_example
+
+    ex = condition_input_example(cfg.conditioning, batch=1,
+                                 image_size=cfg.image_size)
+    return jax.ShapeDtypeStruct((b, *ex.shape[1:]), ex.dtype)
+
+
+def export_generator(cfg: Config, state) -> bytes:
+    """Serialize ``G(conditions, z) -> trajectories`` with the (EMA-aware)
+    trained weights baked in; batch and sample-count dims are symbolic."""
+    from ndivplanning_tpu.train.state import build_models, gen_params
+
+    gen, _ = build_models(cfg)
+    params = jax.device_get(gen_params(cfg, state))
+
+    def generate(conditions, z):
+        return gen.apply(params, conditions, z)
+
+    b, n = jax.export.symbolic_shape("b, n")
+    exp = jax.export.export(jax.jit(generate), platforms=_PLATFORMS)(
+        _condition_struct(cfg, b),
+        jax.ShapeDtypeStruct((b, n, cfg.latent_dim), jnp.float32),
+    )
+    return exp.serialize()
+
+
+def export_planner(cfg: Config, state, n_candidates: int | None = None,
+                   n_diverse: int = 8) -> bytes:
+    """Serialize the full plan-a-scene-batch pipeline (generate ->
+    rollout -> select) as one program over plain arrays.
+
+    The scene arrives as its raw arrays (start/goal/obstacles/mask) so a
+    deployment needs no Scene pytree class; PRNG keys are derived inside
+    from per-scene int32 seeds.
+    """
+    from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
+    from ndivplanning_tpu.planning.planner import _plan_impl
+    from ndivplanning_tpu.envs.rollout import ScoreWeights
+
+    n = cfg.n_candidates if n_candidates is None else n_candidates
+    state = jax.device_get(state)
+    weights = ScoreWeights()
+
+    def plan_arrays(conditions, start, goal, obstacles, obstacle_mask,
+                    seeds):
+        def one(cond, s, g, obs, mask, seed):
+            scene = Scene(start=s, goal=g, obstacles=obs,
+                          obstacle_mask=mask)
+            key = jax.random.PRNGKey(seed)
+            r = _plan_impl(cfg, state, scene, cond, key, n,
+                           n_diverse, weights)
+            return r.best_traj, r.best_score, r.best_reached, r.diverse_trajs
+
+        return jax.vmap(one)(conditions, start, goal, obstacles,
+                             obstacle_mask, seeds)
+
+    (b,) = jax.export.symbolic_shape("b")
+    f32 = jnp.float32
+    exp = jax.export.export(jax.jit(plan_arrays), platforms=_PLATFORMS)(
+        _condition_struct(cfg, b),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES, 3), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    return exp.serialize()
+
+
+def export_bundle(cfg: Config, state, out_dir: str,
+                  n_candidates: int | None = None,
+                  n_diverse: int = 8) -> dict:
+    """Write generator + planner artifacts and a manifest to ``out_dir``.
+
+    Returns the manifest dict (artifact names, sizes, config).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    gen_blob = export_generator(cfg, state)
+    plan_blob = export_planner(cfg, state, n_candidates=n_candidates,
+                               n_diverse=n_diverse)
+    with open(os.path.join(out_dir, GENERATOR_FILE), "wb") as f:
+        f.write(gen_blob)
+    with open(os.path.join(out_dir, PLANNER_FILE), "wb") as f:
+        f.write(plan_blob)
+    manifest = {
+        "config": dataclasses.asdict(cfg),
+        "step": int(jax.device_get(state.step)),
+        "platforms": list(_PLATFORMS),
+        "generator": {
+            "file": GENERATOR_FILE,
+            "bytes": len(gen_blob),
+            "signature": "(conditions[b,...], z[b,n,zdim]) -> traj[b,n,H,S]",
+        },
+        "planner": {
+            "file": PLANNER_FILE,
+            "bytes": len(plan_blob),
+            "n_candidates": (cfg.n_candidates if n_candidates is None
+                             else n_candidates),
+            "n_diverse": n_diverse,
+            "signature": "(conditions, start, goal, obstacles, "
+                         "obstacle_mask, seeds) -> (best_traj, best_score,"
+                         " best_reached, diverse_trajs)",
+        },
+    }
+    with open(os.path.join(out_dir, MANIFEST_FILE), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def load_exported(path: str):
+    """Deserialize one artifact; returns a callable (the Exported's
+    ``call``), runnable under jit on any of the lowered platforms."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(f.read()).call

@@ -1,0 +1,97 @@
+"""jax.export deployment bundle: serialized artifacts reproduce the live
+generator/planner bit-for-bit, across batch sizes (symbolic dims), and
+reload without any model code (utils/export.py)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndivplanning_tpu.data.scenes import random_scene
+from ndivplanning_tpu.envs.rollout import ScoreWeights
+from ndivplanning_tpu.planning.planner import plan
+from ndivplanning_tpu.planning.server import _condition_for
+from ndivplanning_tpu.train.state import build_models, create_train_state, gen_params
+from ndivplanning_tpu.utils.config import get_config
+from ndivplanning_tpu.utils.export import (
+    GENERATOR_FILE,
+    MANIFEST_FILE,
+    PLANNER_FILE,
+    export_bundle,
+    load_exported,
+)
+
+
+def _small(preset="goalcond", **kw):
+    defaults = dict(batch_size=8, k=4, g_hidden=(32,), d_hidden=(32,),
+                    cond_embed_dim=8, image_size=16, n_candidates=32)
+    defaults.update(kw)
+    return get_config(preset, **defaults)
+
+
+def test_generator_export_roundtrip(tmp_path):
+    cfg = _small()
+    state = create_train_state(cfg)
+    manifest = export_bundle(cfg, state, str(tmp_path))
+    assert (tmp_path / GENERATOR_FILE).exists()
+    assert (tmp_path / PLANNER_FILE).exists()
+    # (json round-trips config tuples to lists)
+    assert (json.loads((tmp_path / MANIFEST_FILE).read_text())
+            == json.loads(json.dumps(manifest)))
+
+    g = load_exported(str(tmp_path / GENERATOR_FILE))
+    gen, _ = build_models(cfg)
+    for b, n in [(3, 5), (1, 4)]:  # symbolic dims: two distinct shapes
+        key = jax.random.PRNGKey(b * 10 + n)
+        cond = jax.random.uniform(key, (b, 4))
+        z = jax.random.normal(jax.random.fold_in(key, 1),
+                              (b, n, cfg.latent_dim))
+        want = gen.apply(gen_params(cfg, state), cond, z)
+        got = g(cond, z)
+        # Different XLA program => fusion reassociation => 1-ulp drift
+        # (CLAUDE.md); parity is at tight tolerance, not bitwise.
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=2e-6, atol=2e-7)
+
+
+def test_planner_export_matches_live_plan(tmp_path):
+    cfg = _small()
+    state = create_train_state(cfg)
+    export_bundle(cfg, state, str(tmp_path), n_diverse=4)
+    p = load_exported(str(tmp_path / PLANNER_FILE))
+
+    scenes = [random_scene(jax.random.PRNGKey(i)) for i in (0, 1)]
+    conds = jnp.stack([_condition_for(cfg, s) for s in scenes])
+    start = jnp.stack([s.start for s in scenes])
+    goal = jnp.stack([s.goal for s in scenes])
+    obs = jnp.stack([s.obstacles for s in scenes])
+    mask = jnp.stack([s.obstacle_mask for s in scenes])
+    seeds = jnp.asarray([7, 8], jnp.int32)
+
+    best_traj, best_score, best_reached, diverse = p(
+        conds, start, goal, obs, mask, seeds)
+    assert best_traj.shape == (2, cfg.horizon, cfg.state_dim)
+    assert diverse.shape[:2] == (2, 4)
+
+    for i, scene in enumerate(scenes):
+        want = plan(cfg, state, scene, conds[i],
+                    jax.random.PRNGKey(int(seeds[i])), n_diverse=4,
+                    weights=ScoreWeights())
+        np.testing.assert_allclose(np.asarray(want.best_traj),
+                                   np.asarray(best_traj[i]), atol=1e-6)
+        np.testing.assert_allclose(float(want.best_score),
+                                   float(best_score[i]), atol=1e-6)
+
+
+def test_export_cli(tmp_path):
+    from ndivplanning_tpu.cli import main
+
+    cfg_dir = tmp_path / "run"
+    out_dir = tmp_path / "bundle"
+    rc = main(["export", "--preset", "pointmass2d", "--batch-size", "8",
+               "--k", "4", "--set", "g_hidden=32", "--set", "d_hidden=32",
+               "--set", "n_candidates=16", "--workdir", str(cfg_dir),
+               "--out", str(out_dir)])
+    assert rc == 0
+    assert (out_dir / MANIFEST_FILE).exists()
