@@ -65,8 +65,8 @@ def main() -> None:
         name, _, ov = p.partition(":")
         overrides = json.loads(ov) if ov else {}
         results.append(run(name, steps, eval_every, overrides))
-    path = os.path.join(os.path.dirname(__file__),
-                        "convergence_fixed_results.json")
+    path = os.environ.get("CONVERGENCE_OUT") or os.path.join(
+        os.path.dirname(__file__), "convergence_fixed_results.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
 
