@@ -168,6 +168,13 @@ def main(argv=None) -> int:
                            help="sample a fresh eval batch instead of "
                                 "the frozen 512-scene suite")
             p.add_argument("--suite-size", type=int, default=512)
+        if name == "plan":
+            p.add_argument("--refine", choices=("none", "cem"),
+                           default="none",
+                           help="latent refinement: 'cem' runs "
+                                "cross-entropy-method iterations in the "
+                                "generator's latent space (same total "
+                                "rollout budget as one-shot)")
         if name == "record-data":
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
@@ -255,12 +262,21 @@ def main(argv=None) -> int:
         state = _load_state(cfg)
         scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
         condition = _condition_for(cfg, scene)
-        result = plan(cfg, state, scene, condition,
-                      jax.random.PRNGKey(cfg.seed + 4))
+        out = {}
+        if args.refine == "cem":
+            from ndivplanning_tpu.planning.cem import plan_cem
+
+            result, best_curve = plan_cem(cfg, state, scene, condition,
+                                          jax.random.PRNGKey(cfg.seed + 4))
+            out["best_curve"] = [float(s) for s in best_curve]
+        else:
+            result = plan(cfg, state, scene, condition,
+                          jax.random.PRNGKey(cfg.seed + 4))
         print(json.dumps({
             "best_score": float(result.best_score),
             "best_reached": float(result.best_reached),
             "n_candidates": int(result.scores.shape[0]),
+            **out,
         }))
         return 0
 

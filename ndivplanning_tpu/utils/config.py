@@ -75,6 +75,11 @@ class Config:
     # Planning / eval
     rollout_mode: str = "waypoints"  # waypoints | actions
     n_candidates: int = 1000
+    # CEM latent refinement (planning/cem.py): iterations for
+    # ``plan --refine cem`` and ``plan_cem``'s default budget split
+    # (population = n_candidates / cem_iters, so total rollouts match
+    # the one-shot planner's).
+    cem_iters: int = 5
     eval_every: int = 500
     # Periodic eval runs on a frozen suite of this many scenes (step-to-
     # step comparable); the best checkpoint by ``track_best_metric`` is
@@ -110,21 +115,28 @@ PRESETS = {
     ),
     # 2. "Goal-conditioned trajectory NDiv-GAN: start/goal MLP conditioning,
     #     batch 256, horizon 32"
+    # EMA generator on by default for the conditioned presets: the
+    # recipe sweep (benchmarks/imagecond_sweep_results_12000.json) found
+    # EMA the only intervention beating control outside GAN seed noise
+    # (0.33 vs 0.20 mean success at 12k), and the EMA eval curve is
+    # near-monotone where the raw one saws 0.06-0.73 (BASELINE.md r2).
     "goalcond": Config(
         name="goalcond", conditioning="startgoal", batch_size=256, k=8,
         latent_dim=2, horizon=32, generator_output="sigmoid",
+        g_ema_decay=0.999,
     ),
     # 3. "Image-conditioned generator: conv encoder + trajectory decoder
     #     head, batch 512"
     "imagecond": Config(
         name="imagecond", conditioning="image", batch_size=512, k=8,
-        latent_dim=2, generator_output="sigmoid",
+        latent_dim=2, generator_output="sigmoid", g_ema_decay=0.999,
     ),
     # 4. "Sim-in-the-loop planning: vmapped env rollouts scoring 1k
     #     candidate trajectories per step" — an eval-centric preset.
     "planning": Config(
         name="planning", conditioning="image", batch_size=64, k=8,
         latent_dim=2, n_candidates=1000, generator_output="sigmoid",
+        g_ema_decay=0.999,
     ),
     # 5. "Pod-scale data-parallel NDiv-GAN: v5p-8 mesh, global batch 8k,
     #     k=32 diversity samples" — bf16 compute by default: the
@@ -133,7 +145,7 @@ PRESETS = {
     "pod_dp": Config(
         name="pod_dp", conditioning="startgoal", batch_size=8192, k=32,
         latent_dim=2, dp_shards=8, generator_output="sigmoid",
-        compute_dtype="bf16",
+        compute_dtype="bf16", g_ema_decay=0.999,
     ),
 }
 

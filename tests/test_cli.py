@@ -31,6 +31,19 @@ def test_plan_command(tmp_path, capsys):
     assert out["n_candidates"] == 1000
 
 
+def test_plan_refine_cem(tmp_path, capsys):
+    rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
+               "--k", "4", "--workdir", str(tmp_path), "--refine", "cem",
+               "--set", "n_candidates=64", "--set", "cem_iters=3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["best_curve"]) == 3
+    # Monotone best-so-far, and the reported best never loses to it.
+    curve = out["best_curve"]
+    assert all(b <= a + 1e-6 for a, b in zip(curve, curve[1:]))
+    assert out["best_score"] <= curve[-1] + 1e-6
+
+
 def test_viz_command(tmp_path, capsys):
     pytest.importorskip("matplotlib")
     out = tmp_path / "plan.png"
