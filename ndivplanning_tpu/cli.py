@@ -169,12 +169,14 @@ def main(argv=None) -> int:
                                 "the frozen 512-scene suite")
             p.add_argument("--suite-size", type=int, default=512)
         if name == "plan":
-            p.add_argument("--refine", choices=("none", "cem"),
+            p.add_argument("--refine", choices=("none", "cem", "grad"),
                            default="none",
                            help="latent refinement: 'cem' runs "
                                 "cross-entropy-method iterations in the "
                                 "generator's latent space (same total "
-                                "rollout budget as one-shot)")
+                                "rollout budget as one-shot); 'grad' "
+                                "runs Adam on the soft differentiable "
+                                "objective through G + the env")
         if name == "record-data":
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
@@ -269,6 +271,12 @@ def main(argv=None) -> int:
             result, best_curve = plan_cem(cfg, state, scene, condition,
                                           jax.random.PRNGKey(cfg.seed + 4))
             out["best_curve"] = [float(s) for s in best_curve]
+        elif args.refine == "grad":
+            from ndivplanning_tpu.planning.grad_refine import plan_grad
+
+            result, loss_curve = plan_grad(cfg, state, scene, condition,
+                                           jax.random.PRNGKey(cfg.seed + 4))
+            out["soft_loss_curve"] = [float(s) for s in loss_curve]
         else:
             result = plan(cfg, state, scene, condition,
                           jax.random.PRNGKey(cfg.seed + 4))

@@ -80,6 +80,9 @@ class Config:
     # (population = n_candidates / cem_iters, so total rollouts match
     # the one-shot planner's).
     cem_iters: int = 5
+    # Gradient latent refinement (planning/grad_refine.py): Adam steps
+    # on the soft differentiable objective for ``plan --refine grad``.
+    grad_refine_steps: int = 12
     eval_every: int = 500
     # Periodic eval runs on a frozen suite of this many scenes (step-to-
     # step comparable); the best checkpoint by ``track_best_metric`` is

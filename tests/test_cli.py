@@ -44,6 +44,17 @@ def test_plan_refine_cem(tmp_path, capsys):
     assert out["best_score"] <= curve[-1] + 1e-6
 
 
+def test_plan_refine_grad(tmp_path, capsys):
+    rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
+               "--k", "4", "--workdir", str(tmp_path), "--refine", "grad",
+               "--set", "n_candidates=32", "--set", "grad_refine_steps=4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["soft_loss_curve"]) == 4
+    # Union of prior + refined candidates is what gets hard-scored.
+    assert out["n_candidates"] == 2 * (32 // 4)
+
+
 def test_viz_command(tmp_path, capsys):
     pytest.importorskip("matplotlib")
     out = tmp_path / "plan.png"
