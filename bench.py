@@ -79,8 +79,13 @@ N_CAND, ROLL_H = 1000, 32
 # runs AMP independent instances of the CPU workload per dispatch (the
 # batch axis folds them in natively) and syncs once.  CPU throughput is
 # flat in batch, so per-pair/per-step rates stay comparable.
-NDIV_AMP = 64  # TPU NDiv batch = NDIV_B * NDIV_AMP
-ROLL_AMP = 16  # TPU candidates = N_CAND * ROLL_AMP
+# AMP values sit at the measured knee (benchmarks/amp_sweep.py): below
+# it the number is mostly fixed dispatch overhead (amp 16 rollouts:
+# 29 ms dispatch of which ~7 ms is compute — quoting that UNDERSTATES
+# the chip); past it XLA compile time for the giant vmap explodes
+# (amp 1024 rollout failed to compile inside 10 min on the tunnel).
+NDIV_AMP = 512  # TPU NDiv batch = NDIV_B * NDIV_AMP (74 ms/dispatch)
+ROLL_AMP = 512  # TPU candidates = N_CAND * ROLL_AMP (36 ms/dispatch)
 CHUNK = 2000  # train steps per dispatch
 
 

@@ -25,7 +25,8 @@ import jax
 import numpy as np
 
 
-def run(preset: str, train_steps: int, n_scenes: int) -> dict:
+def run(preset: str, train_steps: int, n_scenes: int,
+        with_grad: bool = False) -> dict:
     from ndivplanning_tpu.planning.cem import plan_cem_batch
     from ndivplanning_tpu.planning.planner import plan_batch
     from ndivplanning_tpu.train.evaluate import make_eval_suite
@@ -60,17 +61,29 @@ def run(preset: str, train_steps: int, n_scenes: int) -> dict:
     cem = summarize(refined)
     t_cem = time.monotonic() - t0
 
+    grad = None
+    t_grad = 0.0
+    if with_grad:
+        from ndivplanning_tpu.planning.grad_refine import plan_grad_batch
+
+        t0 = time.monotonic()
+        refined_g, _ = plan_grad_batch(cfg, state, suite.scenes,
+                                       suite.conditions, keys)
+        grad = summarize(refined_g)
+        t_grad = time.monotonic() - t0
+
     mean_curve = [round(float(c), 4)
                   for c in np.asarray(curves, np.float64).mean(axis=0)]
     out = {
         "preset": preset, "train_steps": train_steps, "n_scenes": n_scenes,
         "budget_rollouts_per_scene": cfg.n_candidates,
         "cem_iters": cfg.cem_iters,
-        "oneshot": one, "cem": cem,
+        "oneshot": one, "cem": cem, "grad": grad,
         "cem_mean_best_curve": mean_curve,
         "wall_s": {"train": round(t_train, 1),
                    "plan_oneshot": round(t_one, 1),
-                   "plan_cem": round(t_cem, 1)},
+                   "plan_cem": round(t_cem, 1),
+                   "plan_grad": round(t_grad, 1)},
         "backend": jax.default_backend(),
     }
     print(json.dumps(out), flush=True)
@@ -80,8 +93,10 @@ def run(preset: str, train_steps: int, n_scenes: int) -> dict:
 def main() -> None:
     train_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_scenes = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    presets = sys.argv[3:] or ["goalcond", "planning"]
-    results = [run(p, train_steps, n_scenes) for p in presets]
+    with_grad = "--grad" in sys.argv
+    presets = [a for a in sys.argv[3:] if not a.startswith("--")] or [
+        "goalcond", "planning"]
+    results = [run(p, train_steps, n_scenes, with_grad) for p in presets]
     path = os.environ.get("CEM_BENCH_OUT") or os.path.join(
         os.path.dirname(__file__), "cem_results.json")
     with open(path, "w") as f:
