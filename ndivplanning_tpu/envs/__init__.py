@@ -8,18 +8,24 @@ sim-in-the-loop candidate scoring runs entirely on TPU.
 
 from ndivplanning_tpu.envs.types import EnvParams, EnvState, Scene, StepInfo
 from ndivplanning_tpu.envs.pointmass import reset, step
+from ndivplanning_tpu.envs.registry import EnvAPI, get_env
 from ndivplanning_tpu.envs.rollout import (
     rollout,
     rollout_actions,
     rollout_waypoints,
     score_candidates,
 )
+from ndivplanning_tpu.envs.unicycle import UnicycleParams, UnicycleState
 
 __all__ = [
+    "EnvAPI",
     "EnvParams",
     "EnvState",
     "Scene",
     "StepInfo",
+    "UnicycleParams",
+    "UnicycleState",
+    "get_env",
     "reset",
     "step",
     "rollout",

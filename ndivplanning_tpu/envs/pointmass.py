@@ -62,6 +62,15 @@ def _collision(prev_pos: jnp.ndarray, pos: jnp.ndarray,
     return hit.astype(jnp.float32)
 
 
+def waypoint_control(params: EnvParams, state: EnvState,
+                     target: jnp.ndarray, kp: float = 8.0,
+                     kd: float = 2.0) -> jnp.ndarray:
+    """PD waypoint tracking: ``a = kp (target - pos) - kd vel`` (the
+    registry-facing form of rollout._pd_control)."""
+    del params
+    return kp * (target - state.pos) - kd * state.vel
+
+
 def step(params: EnvParams, scene: Scene, state: EnvState,
          action: jnp.ndarray) -> tuple[EnvState, StepInfo]:
     """One dynamics step.  Pure; batch with ``vmap``, roll with ``lax.scan``."""

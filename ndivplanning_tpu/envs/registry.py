@@ -1,0 +1,44 @@
+"""Environment registry: one static dispatch point for env families.
+
+``Config.env`` selects the family; everything downstream (rollout
+scorer, planner, refinement, MPC, eval) looks the API up here, so adding
+an env = adding a module with this four-function surface plus a registry
+row.  The name is a jit-static string: each family compiles its own
+program, there is no runtime branching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+
+class EnvAPI(NamedTuple):
+    """The functional surface every environment family exposes."""
+
+    make_params: Callable  # () -> params pytree
+    reset: Callable  # (params, scene) -> state
+    step: Callable  # (params, scene, state, action) -> (state, StepInfo)
+    waypoint_control: Callable  # (params, state, target) -> action
+
+
+def get_env(name: str) -> EnvAPI:
+    if name == "pointmass":
+        from ndivplanning_tpu.envs import pointmass
+        from ndivplanning_tpu.envs.types import EnvParams
+
+        return EnvAPI(
+            make_params=EnvParams.create,
+            reset=pointmass.reset,
+            step=pointmass.step,
+            waypoint_control=pointmass.waypoint_control,
+        )
+    if name == "unicycle":
+        from ndivplanning_tpu.envs import unicycle
+
+        return EnvAPI(
+            make_params=unicycle.UnicycleParams.create,
+            reset=unicycle.reset,
+            step=unicycle.step,
+            waypoint_control=unicycle.waypoint_control,
+        )
+    raise ValueError(f"unknown env {name!r}; expected pointmass | unicycle")

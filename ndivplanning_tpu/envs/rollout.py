@@ -27,7 +27,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ndivplanning_tpu.envs.pointmass import reset, step
 from ndivplanning_tpu.envs.types import EnvParams, EnvState, Scene
 
 
@@ -57,24 +56,29 @@ def _pd_control(pos, vel, target, kp=8.0, kd=2.0):
 
 def _rollout_scan(params: EnvParams, scene: Scene, tau: jnp.ndarray,
                   mode: str, weights: ScoreWeights,
-                  state0: EnvState | None = None) -> RolloutResult:
+                  state0: EnvState | None = None,
+                  env: str = "pointmass") -> RolloutResult:
     """Roll ``tau`` through the env from ``state0`` (default: reset).
 
     The explicit-start form is what receding-horizon replanning uses
     (planning/mpc.py): candidates are scored from the CURRENT state, not
-    from the scene's start.
+    from the scene's start.  ``env`` statically selects the dynamics
+    family (envs/registry.py); ``params`` must match it.
     """
+    from ndivplanning_tpu.envs.registry import get_env
+
+    api = get_env(env)
     if state0 is None:
-        state0 = reset(params, scene)
+        state0 = api.reset(params, scene)
 
     def body(state, tau_t):
         if mode == "actions":
             a = tau_t
         elif mode == "waypoints":
-            a = _pd_control(state.pos, state.vel, tau_t)
+            a = api.waypoint_control(params, state, tau_t)
         else:
             raise ValueError(f"unknown rollout mode {mode!r}")
-        new_state, info = step(params, scene, state, a)
+        new_state, info = api.step(params, scene, state, a)
         ctrl = jnp.sum(a * a) * (1.0 - state.done)
         return new_state, (new_state.pos, ctrl)
 
@@ -97,12 +101,13 @@ def _rollout_scan(params: EnvParams, scene: Scene, tau: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "weights"))
+@functools.partial(jax.jit, static_argnames=("mode", "weights", "env"))
 def rollout(params: EnvParams, scene: Scene, tau: jnp.ndarray,
             mode: str = "waypoints",
-            weights: ScoreWeights = ScoreWeights()) -> RolloutResult:
+            weights: ScoreWeights = ScoreWeights(),
+            env: str = "pointmass") -> RolloutResult:
     """Roll a single trajectory ``tau: [H, 2]`` through the env."""
-    return _rollout_scan(params, scene, tau, mode, weights)
+    return _rollout_scan(params, scene, tau, mode, weights, env=env)
 
 
 def rollout_actions(params, scene, tau, weights=ScoreWeights()):
@@ -115,10 +120,11 @@ def rollout_waypoints(params, scene, tau, weights=ScoreWeights()):
     return rollout(params, scene, tau, mode="waypoints", weights=weights)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "weights"))
+@functools.partial(jax.jit, static_argnames=("mode", "weights", "env"))
 def score_candidates(params: EnvParams, scene: Scene, taus: jnp.ndarray,
                      mode: str = "waypoints",
-                     weights: ScoreWeights = ScoreWeights()) -> RolloutResult:
+                     weights: ScoreWeights = ScoreWeights(),
+                     env: str = "pointmass") -> RolloutResult:
     """Score N candidate trajectories ``taus: [N, H, 2]`` in one program.
 
     ``vmap`` over candidates of the ``lax.scan`` rollout — the TPU-native
@@ -126,5 +132,5 @@ def score_candidates(params: EnvParams, scene: Scene, taus: jnp.ndarray,
     (SURVEY.md §3.3, metric "rollout steps/sec" BASELINE.json:2).
     """
     return jax.vmap(
-        lambda t: _rollout_scan(params, scene, t, mode, weights)
+        lambda t: _rollout_scan(params, scene, t, mode, weights, env=env)
     )(taus)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
-from ndivplanning_tpu.envs.types import EnvParams, Scene
+from ndivplanning_tpu.envs.types import Scene
 from ndivplanning_tpu.planning.planner import (
     PlanResult,
     _diverse_top_m,
@@ -87,12 +87,14 @@ def _soft_objective(cfg: Config, state: TrainState, scene: Scene,
                     condition: jnp.ndarray, z: jnp.ndarray,
                     soft: SoftWeights) -> jnp.ndarray:
     """Mean soft cost of the candidates decoded from ``z [N, zdim]``."""
+    from ndivplanning_tpu.envs.registry import get_env
+
     taus = _decode(cfg, state, condition, z)
-    params = EnvParams.create()
+    params = get_env(cfg.env).make_params()
 
     def one(tau):
         res = _rollout_scan(params, scene, tau, cfg.rollout_mode,
-                            ScoreWeights())
+                            ScoreWeights(), env=cfg.env)
         pen = _segments_penetration(scene, scene.start, res.positions,
                                     soft.margin)
         return (soft.goal * res.goal_dist + soft.obstacle * pen

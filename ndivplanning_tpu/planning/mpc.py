@@ -24,9 +24,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ndivplanning_tpu.envs.pointmass import reset, step
-from ndivplanning_tpu.envs.rollout import ScoreWeights, _pd_control
-from ndivplanning_tpu.envs.types import EnvParams, EnvState, Scene
+from ndivplanning_tpu.envs.registry import get_env
+from ndivplanning_tpu.envs.rollout import ScoreWeights
+from ndivplanning_tpu.envs.types import EnvState, Scene
 from ndivplanning_tpu.planning.planner import (
     generate_candidates,
     score_rollouts,
@@ -74,15 +74,16 @@ def _execute(cfg: Config, scene: Scene, env_state: EnvState,
     """Execute ``n_steps`` of the remaining-waypoint slice as ONE
     compiled lax.scan (per-env-step eager dispatch would dominate wall
     time through the TPU tunnel — CLAUDE.md)."""
-    params = EnvParams.create()
+    api = get_env(cfg.env)
+    params = api.make_params()
     idx = jnp.minimum(jnp.arange(n_steps), tau.shape[0] - 1)
 
     def body(state, wp):
         if cfg.rollout_mode == "waypoints":
-            a = _pd_control(state.pos, state.vel, wp)
+            a = api.waypoint_control(params, state, wp)
         else:
             a = wp
-        new_state, _ = step(params, scene, state, a)
+        new_state, _ = api.step(params, scene, state, a)
         return new_state, new_state.pos
 
     return jax.lax.scan(body, env_state, tau[idx])
@@ -102,8 +103,8 @@ def mpc_rollout(cfg: Config, gen_state: TrainState, scene: Scene,
 
     Returns an :class:`MPCResult` with the executed path.
     """
-    params = EnvParams.create()
-    env_state = reset(params, scene)
+    api = get_env(cfg.env)
+    env_state = api.reset(api.make_params(), scene)
     positions = []
     n_replans = 0
     for t0 in range(0, total_steps, replan_every):

@@ -87,11 +87,13 @@ def generate_candidates(cfg: Config, state: TrainState,
 def score_rollouts(cfg: Config, scene: Scene, taus: jnp.ndarray,
                    weights: ScoreWeights, state0=None):
     """vmapped sim-in-the-loop scoring of candidates, optionally from a
-    non-reset start state (the MPC case)."""
-    params = EnvParams.create()
+    non-reset start state (the MPC case).  Dynamics family = ``cfg.env``."""
+    from ndivplanning_tpu.envs.registry import get_env
+
+    params = get_env(cfg.env).make_params()
     return jax.vmap(
         lambda t: _rollout_scan(params, scene, t, cfg.rollout_mode, weights,
-                                state0=state0)
+                                state0=state0, env=cfg.env)
     )(taus)
 
 

@@ -113,11 +113,14 @@ def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch):
     )
 
     # Sim-in-the-loop: roll all B*k generated trajectories
-    params = EnvParams.create()
+    from ndivplanning_tpu.envs.registry import get_env
+
+    params = get_env(cfg.env).make_params()
     weights = ScoreWeights()
 
     def roll_one(scene, tau):
-        return _rollout_scan(params, scene, tau, cfg.rollout_mode, weights)
+        return _rollout_scan(params, scene, tau, cfg.rollout_mode, weights,
+                             env=cfg.env)
 
     per_cond = jax.vmap(
         lambda scene, taus_k: jax.vmap(lambda t: roll_one(scene, t))(taus_k)

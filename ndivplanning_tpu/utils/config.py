@@ -24,6 +24,10 @@ class Config:
 
     # Task / conditioning
     conditioning: str = "none"  # none | startgoal | image
+    # Environment family for rollouts/planning/eval (envs/registry.py):
+    # "pointmass" (double integrator) | "unicycle" (Dubins-style pose +
+    # forward speed, actions = accel + steering rate).
+    env: str = "pointmass"
     image_size: int = 32
     horizon: int = 32
     state_dim: int = 2
