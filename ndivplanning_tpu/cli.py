@@ -168,7 +168,7 @@ def main(argv=None) -> int:
                            help="sample a fresh eval batch instead of "
                                 "the frozen 512-scene suite")
             p.add_argument("--suite-size", type=int, default=512)
-        if name == "plan":
+        if name in ("plan", "serve"):
             p.add_argument("--refine", choices=("none", "cem", "grad"),
                            default="none",
                            help="latent refinement: 'cem' runs "
@@ -325,7 +325,7 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.planning.server import serve
 
         state = _load_state(cfg)
-        served = serve(cfg, state)
+        served = serve(cfg, state, refine=args.refine)
         print(json.dumps({"served": served}))
         return 0
 

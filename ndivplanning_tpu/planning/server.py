@@ -71,9 +71,14 @@ def _bucket_for(n: int) -> int:
 
 
 def handle_batch(cfg: Config, state: TrainState, requests: list,
-                 key: jax.Array, n_diverse: int = 4) -> list[dict]:
+                 key: jax.Array, n_diverse: int = 4,
+                 refine: str = "none") -> list[dict]:
     """Plan for a list of scene requests in bucketed ``plan_batch``
     dispatches; returns one JSON-serialisable response per request.
+
+    ``refine`` routes the dispatch through a latent-refinement planner
+    ("cem" | "grad", planning/cem.py / planning/grad_refine.py) instead
+    of one-shot sampling — still one program per bucket size.
 
     A malformed request yields an ``{"error": ...}`` entry at its
     position; the rest of the batch still plans.
@@ -104,8 +109,19 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
         cond_b = jnp.stack([_condition_for(cfg, s) for s in padded])
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, bucket)
-        result = plan_batch(cfg, state, scene_b, cond_b, keys,
-                            n_diverse=n_diverse)
+        if refine == "cem":
+            from ndivplanning_tpu.planning.cem import plan_cem_batch
+
+            result, _ = plan_cem_batch(cfg, state, scene_b, cond_b, keys,
+                                       n_diverse=n_diverse)
+        elif refine == "grad":
+            from ndivplanning_tpu.planning.grad_refine import plan_grad_batch
+
+            result, _ = plan_grad_batch(cfg, state, scene_b, cond_b, keys,
+                                        n_diverse=n_diverse)
+        else:
+            result = plan_batch(cfg, state, scene_b, cond_b, keys,
+                                n_diverse=n_diverse)
         # ONE host transfer for the whole dispatch: the diverse set was
         # gathered on device, so the [B, N, H, S] candidate tensor never
         # crosses the tunnel (each separate fetch costs ~35 ms there).
@@ -216,12 +232,14 @@ class _LineSource:
 
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
           stdout: IO[str] = sys.stdout, seed: int = 0,
-          max_coalesce: int = BUCKETS[-1]) -> int:
+          max_coalesce: int = BUCKETS[-1], refine: str = "none") -> int:
     """Blocking request loop; returns number of request lines answered.
 
     Each input line is either one request object or an array of request
     objects (answered with an array, planned as one batch).  Bursts of
     pending lines additionally coalesce into shared dispatches.
+    ``refine`` ("cem" | "grad") serves latent-refined plans instead of
+    one-shot samples.
     """
     key = jax.random.PRNGKey(seed)
     source = _LineSource(stdin)
@@ -261,7 +279,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
         answers: list[dict] = []
         if flat:
             key, sub = jax.random.split(key)
-            answers = handle_batch(cfg, state, flat, sub)
+            answers = handle_batch(cfg, state, flat, sub, refine=refine)
         pos = 0
         for kind, payload in units:
             if kind == "error":

@@ -132,3 +132,25 @@ def test_burst_coalesces_through_real_pipe():
     outs = [json.loads(l) for l in stdout.getvalue().splitlines()]
     assert all(o["batch_size"] == 4 for o in outs), \
         [o["batch_size"] for o in outs]
+
+
+def test_serve_with_refinement_modes():
+    """refine='cem'/'grad' serve latent-refined plans through the same
+    bucketed batch path (one line + a 2-array line)."""
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    reqs = (
+        json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]}) + "\n"
+        + json.dumps([{"start": [0.2, 0.2], "goal": [0.8, 0.8]},
+                      {"start": [0.3, 0.1], "goal": [0.7, 0.9]}]) + "\n"
+        + "quit\n"
+    )
+    for refine in ("cem", "grad"):
+        stdout = io.StringIO()
+        served = serve(cfg, state, stdin=io.StringIO(reqs), stdout=stdout,
+                       refine=refine)
+        assert served == 2
+        lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+        assert "best_score" in lines[0]
+        assert isinstance(lines[1], list) and len(lines[1]) == 2
+        assert all("best_score" in r for r in lines[1])
