@@ -39,17 +39,31 @@ def run(preset: str, steps: int, eval_every: int, overrides: dict) -> dict:
         done += n
         ev = {k: float(v) for k, v in
               evaluate_fixed(cfg, state, n_scenes=512).items()}
+        if cfg.g_ema_decay > 0:
+            # Best-of-both protocol (train/loop.py _best_candidates):
+            # the raw generator's peak can beat the smoother EMA curve.
+            ev["raw_eval_success_rate"] = float(evaluate_fixed(
+                cfg, state, n_scenes=512,
+                use_ema=False)["eval_success_rate"])
         row = {"step": done,
                **{k: float(v[-1]) for k, v in m.items()}, **ev}
         curve.append(row)
         print(json.dumps({"preset": preset, "step": done,
                           "success": round(ev["eval_success_rate"], 4),
+                          "raw_success": round(
+                              ev.get("raw_eval_success_rate",
+                                     ev["eval_success_rate"]), 4),
                           "collision": round(ev["eval_collision_rate"], 4),
                           "diversity": round(
                               ev["eval_mean_pairwise_dist"], 4)}),
               flush=True)
     wall = time.monotonic() - t0
-    best = max(curve, key=lambda r: r["eval_success_rate"])
+
+    def _best_of_both(r):
+        return max(r["eval_success_rate"],
+                   r.get("raw_eval_success_rate", 0.0))
+
+    best = max(curve, key=_best_of_both)
     return {"preset": preset, "overrides": {k: str(v) for k, v in
                                             overrides.items()},
             "steps": steps, "wall_s": round(wall, 1),

@@ -30,9 +30,9 @@ from ndivplanning_tpu.train.state import (
 from ndivplanning_tpu.utils.config import Config
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "eval_batch"))
+@functools.partial(jax.jit, static_argnames=("cfg", "eval_batch", "use_ema"))
 def evaluate(cfg: Config, state: TrainState, key: jax.Array,
-             eval_batch: int = 64):
+             eval_batch: int = 64, use_ema: bool = True):
     """Returns a dict of f32 scalars (see module docstring).
 
     Samples a fresh batch from the synthetic task sampler; for a FIXED
@@ -42,17 +42,22 @@ def evaluate(cfg: Config, state: TrainState, key: jax.Array,
     task = make_task(cfg)
     k_batch, k_z = jax.random.split(key)
     batch = task.sample(k_batch, eval_batch)
-    return _evaluate_impl(cfg, state, k_z, batch)
+    return _evaluate_impl(cfg, state, k_z, batch, use_ema=use_ema)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_ema"))
 def evaluate_on_batch(cfg: Config, state: TrainState, key: jax.Array,
-                      batch):
+                      batch, use_ema: bool = True):
     """Same metrics as :func:`evaluate` but on a CALLER-PROVIDED batch
     (conditions + real scenes) — the honest-eval path for recorded
     datasets and the frozen eval protocol: success/collision use the
-    batch's true scenes rather than freshly sampled ones."""
-    return _evaluate_impl(cfg, state, key, batch)
+    batch's true scenes rather than freshly sampled ones.
+
+    ``use_ema=False`` evaluates the RAW generator weights even when the
+    config tracks EMA ones — the second leg of the best-of-both
+    checkpoint selection in train() (the EMA curve is smoother but its
+    peak can sit below the raw generator's best oscillation)."""
+    return _evaluate_impl(cfg, state, key, batch, use_ema=use_ema)
 
 
 # Frozen eval protocol (round-2): suite scenes and the eval latent draws
@@ -81,20 +86,21 @@ def make_eval_suite(cfg: Config, n_scenes: int = EVAL_SUITE_SIZE,
 
 def evaluate_fixed(cfg: Config, state: TrainState,
                    n_scenes: int = EVAL_SUITE_SIZE,
-                   seed: int = EVAL_SUITE_SEED):
+                   seed: int = EVAL_SUITE_SEED, use_ema: bool = True):
     """Metrics on the frozen suite with frozen latents: reproducible to
     the digit for a given checkpoint (tests/test_evaluate_plan.py)."""
     suite = make_eval_suite(cfg, n_scenes, seed)
     return evaluate_on_batch(cfg, state, jax.random.PRNGKey(seed + 1),
-                             suite)
+                             suite, use_ema=use_ema)
 
 
-def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch):
+def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch,
+                   use_ema: bool = True):
     eval_batch = batch.real_traj.shape[0]
     gen, _ = build_models(cfg)
     z = jax.random.normal(k_z, (eval_batch, cfg.k, cfg.latent_dim))
-    taus = gen.apply(gen_params(cfg, state), batch.conditions,
-                     z)  # [B, k, H, S]
+    params = gen_params(cfg, state) if use_ema else state.g_params
+    taus = gen.apply(params, batch.conditions, z)  # [B, k, H, S]
     flat = taus.reshape(eval_batch, cfg.k, -1)
 
     # Diversity

@@ -76,6 +76,74 @@ def _improved(name: str, value: float, best: Optional[float]) -> bool:
     return value < best if name in _LOWER_BETTER else value > best
 
 
+def _write_best_marker(best_dir: str, eval_path: str, metric: str,
+                       value: float, step: int) -> None:
+    """Record which generator weights (raw vs EMA) the best checkpoint's
+    winning eval used — observability for the best-of-both selection."""
+    import json
+
+    os.makedirs(best_dir, exist_ok=True)
+    with open(os.path.join(best_dir, "best_path.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"eval_path": eval_path, "metric": metric,
+                   "value": value, "step": step}, f)
+
+
+def _best_candidates(cfg: Config, state: TrainState, ev: dict,
+                     raw_eval_fn=None):
+    """The (eval_path, metric_value, state_to_save) candidates for the
+    best-checkpoint tracker at one eval point.
+
+    With EMA tracking on, the raw generator is evaluated too (via
+    ``raw_eval_fn() -> metrics dict``): the EMA curve is smoother but
+    its peak can sit BELOW the raw generator's best oscillation
+    (goalcond measured 0.589 EMA-best vs 0.674 raw-best, BASELINE.md
+    round 2), so the best checkpoint is selected over BOTH paths.  A raw
+    win is saved with ``g_ema_params`` replaced by the raw weights, so
+    every consumer (eval/plan/serve read the EMA slot via
+    ``gen_params``) automatically serves the winning weights; the
+    ``best_path.json`` marker records which path won.  Best checkpoints
+    are consumption artifacts — training resume uses the periodic
+    <workdir> checkpoints, never <workdir>/best.
+    """
+    track = cfg.track_best_metric
+    if not track:
+        return []
+    candidates = [("ema" if cfg.g_ema_decay > 0 else "raw",
+                   ev.get(track), state)]
+    if cfg.g_ema_decay > 0 and raw_eval_fn is not None:
+        ev_raw = raw_eval_fn()
+        raw_val = float(ev_raw[track]) if track in ev_raw else None
+        if raw_val is not None:
+            ev["raw_" + track] = raw_val
+        candidates.append(
+            ("raw", raw_val, state.replace(g_ema_params=state.g_params)))
+    return candidates
+
+
+def _track_best(cfg: Config, workdir, step: int, candidates,
+                best_metric):
+    """Save <workdir>/best when the winning candidate improves on
+    ``best_metric``; returns the updated best.  ONE save per eval point:
+    orbax skips a second save at an existing step, so the winning path
+    is picked before saving."""
+    winner = None
+    for eval_path, metric, cand_state in candidates:
+        if metric is None:
+            continue
+        if winner is None or _improved(cfg.track_best_metric, metric,
+                                       winner[1]):
+            winner = (eval_path, metric, cand_state)
+    if (workdir and winner is not None
+            and _improved(cfg.track_best_metric, winner[1], best_metric)):
+        best_metric = winner[1]
+        best_dir = os.path.join(workdir, "best")
+        ckpt.save_checkpoint(best_dir, winner[2])
+        _write_best_marker(best_dir, winner[0], cfg.track_best_metric,
+                           winner[1], step)
+    return best_metric
+
+
 def train(cfg: Config, num_steps: Optional[int] = None,
           workdir: Optional[str] = None, restore: bool = True,
           echo: bool = True):
@@ -178,16 +246,18 @@ def train(cfg: Config, num_steps: Optional[int] = None,
                 # (sampled eval is available via evaluate()).
                 ev = {k: float(v) for k, v in evaluate_fixed(
                     cfg, state, n_scenes=cfg.eval_suite_scenes).items()}
+                # Keep the best checkpoint by the tracked metric over
+                # BOTH generator paths (raw + EMA): GAN quality
+                # oscillates, so last != best, and the EMA peak can sit
+                # below the raw one (_best_candidates).
+                candidates = _best_candidates(
+                    cfg, state, ev,
+                    raw_eval_fn=lambda: evaluate_fixed(
+                        cfg, state, n_scenes=cfg.eval_suite_scenes,
+                        use_ema=False))
                 writer.write(step, ev, kind="eval")
-                # Keep the best checkpoint by the tracked metric: GAN
-                # quality oscillates, so last != best.
-                metric = ev.get(cfg.track_best_metric)
-                if (workdir and cfg.track_best_metric and metric is not None
-                        and _improved(cfg.track_best_metric, metric,
-                                      best_metric)):
-                    best_metric = metric
-                    ckpt.save_checkpoint(
-                        os.path.join(workdir, "best"), state)
+                best_metric = _track_best(cfg, workdir, step, candidates,
+                                          best_metric)
 
         # Compile-budget log (one line): how many XLA programs this run
         # actually compiled — major ones cost 90-300 s each on the TPU
@@ -381,6 +451,7 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
     history: list[dict] = []
     t_last = time.monotonic()
     steps_since_log = 0
+    best_metric = None
     last: dict = {}
     try:
         for batch_stack in prefetch_to_device(chunk_stream(),
@@ -409,7 +480,15 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
                     jax.random.PRNGKey(cfg.seed + 1), step)
                 ev = {k: float(v) for k, v in evaluate_on_batch(
                     cfg, state, eval_key, eval_batch).items()}
+                # Best-of-both checkpoint tracking, same protocol as
+                # train() but against the held-out dataset slice.
+                candidates = _best_candidates(
+                    cfg, state, ev,
+                    raw_eval_fn=lambda: evaluate_on_batch(
+                        cfg, state, eval_key, eval_batch, use_ema=False))
                 writer.write(step, ev, kind="eval")
+                best_metric = _track_best(cfg, workdir, step, candidates,
+                                          best_metric)
 
         if workdir and cfg.checkpoint_every:
             ckpt.save_checkpoint(workdir, state)

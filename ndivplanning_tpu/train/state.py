@@ -93,7 +93,12 @@ class TrainState:
 
 def gen_params(cfg: Config, state: TrainState):
     """The generator params eval/planning should use: the EMA weights
-    when the config tracks them, the live weights otherwise."""
+    when the config tracks them, the live weights otherwise.
+
+    Best checkpoints where the RAW generator out-scored the EMA one are
+    saved with the raw weights in the EMA slot (train/loop.py
+    ``_best_candidates``), so this accessor always yields the weights
+    that won the frozen-suite eval."""
     return state.g_ema_params if cfg.g_ema_decay > 0 else state.g_params
 
 

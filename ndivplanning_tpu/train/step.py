@@ -100,12 +100,31 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     tau_fake_sg = jax.lax.stop_gradient(tau_fake)
 
     # ---------------- D update ----------------
+    r1_w = cfg.r1_weight
+
     def d_loss(d_params):
         real_logits = disc.apply(d_params, batch.conditions, batch.real_traj)
         fake_logits = disc.apply(d_params, batch.conditions, tau_fake_sg)
-        return d_loss_fn_of(real_logits, fake_logits)
+        loss = d_loss_fn_of(real_logits, fake_logits)
+        if r1_w > 0:
+            # R1 penalty: squared grad norm of D's real-sample logits wrt
+            # the trajectory input, averaged over the batch.  The inner
+            # jax.grad nests under the outer value_and_grad (grad-of-grad
+            # in the same compiled program).
+            def real_score(traj):
+                return jnp.sum(
+                    disc.apply(d_params, batch.conditions, traj))
 
-    d_loss_val, d_grads = jax.value_and_grad(d_loss)(state.d_params)
+            g_traj = jax.grad(real_score)(batch.real_traj)  # [B, H, S]
+            r1 = jnp.mean(jnp.sum(
+                jnp.square(g_traj.astype(jnp.float32)), axis=(1, 2)))
+            loss = loss + 0.5 * r1_w * r1
+        else:
+            r1 = jnp.asarray(0.0, jnp.float32)
+        return loss, r1
+
+    (d_loss_val, d_r1), d_grads = jax.value_and_grad(
+        d_loss, has_aux=True)(state.d_params)
     d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                          state.d_params)
     d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
@@ -165,6 +184,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     }
     if fm_w > 0:
         metrics["g_fm"] = g_fm
+    if r1_w > 0:
+        metrics["d_r1"] = d_r1
     g_sched = lr_schedule(cfg, cfg.g_lr)
     if callable(g_sched):
         # One update per step, so the schedule position == state.step.

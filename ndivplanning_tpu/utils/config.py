@@ -55,6 +55,14 @@ class Config:
     # Feature-matching G loss (Salimans et al. 2016): ||E[D_feat(real)] -
     # E[D_feat(fake)]||^2 added to the G objective.  0 disables.
     feature_matching_weight: float = 0.0
+    # R1 gradient penalty on the discriminator (Mescheder et al. 2018,
+    # "Which Training Methods for GANs do actually Converge?"):
+    # (r1_weight / 2) * E_real[ || dD(c, tau)/dtau ||^2 ], computed on
+    # the real batch inside the fused step (grad-of-grad under one jit).
+    # The standard late-training stabiliser for the D-overpowers-G
+    # collapse mode (imagecond soaks show g_ndiv -> 0 past ~45k steps,
+    # BASELINE.md round 2).  0 disables.
+    r1_weight: float = 0.0
 
     # Optimization
     g_lr: float = 1e-3

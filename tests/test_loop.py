@@ -66,3 +66,83 @@ def test_best_checkpoint_tracking(tmp_path):
             open(f"{tmp_path}/metrics.jsonl", encoding="utf-8")]
     evs = [r for r in rows if r.get("kind") == "eval"]
     assert evs and "eval_success_rate" in evs[0]
+
+
+def test_best_of_both_selects_raw_winner(tmp_path, monkeypatch):
+    """With EMA tracking on, the best-checkpoint tracker evaluates BOTH
+    generator paths; when the raw one scores higher, <workdir>/best is
+    saved with the raw weights in the EMA slot (so gen_params serves the
+    winner) and best_path.json records eval_path='raw'."""
+    import json
+    import os
+
+    import jax
+    import numpy as np
+
+    from ndivplanning_tpu.train import loop as loop_mod
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+
+    cfg = get_config("goalcond", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, log_every=5,
+                     eval_every=5, checkpoint_every=10,
+                     eval_suite_scenes=16, steps=15, g_ema_decay=0.9)
+
+    # Controlled eval: raw path always out-scores the EMA path.
+    def fake_eval(cfg_, state_, n_scenes=0, seed=0, use_ema=True):
+        return {"eval_success_rate": 0.2 if use_ema else 0.9}
+
+    monkeypatch.setattr(loop_mod, "evaluate_fixed", fake_eval)
+    train(cfg, workdir=str(tmp_path), echo=False)
+
+    best_dir = os.path.join(str(tmp_path), "best")
+    marker = json.load(open(os.path.join(best_dir, "best_path.json"),
+                            encoding="utf-8"))
+    assert marker["eval_path"] == "raw"
+    assert marker["value"] == 0.9
+    best = ckpt.restore_latest(best_dir, create_train_state(cfg))
+    # The EMA slot holds the raw winner's weights (not a trailing EMA).
+    for a, b in zip(jax.tree.leaves(best.g_params),
+                    jax.tree.leaves(best.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # The eval metrics row carries both paths' tracked metric.
+    rows = [json.loads(line) for line in
+            open(f"{tmp_path}/metrics.jsonl", encoding="utf-8")]
+    evs = [r for r in rows if r.get("kind") == "eval"]
+    assert evs and evs[0]["raw_eval_success_rate"] == 0.9
+    assert evs[0]["eval_success_rate"] == 0.2
+
+
+def test_best_of_both_ema_winner_keeps_ema(tmp_path, monkeypatch):
+    """When the EMA path wins, best keeps the genuine EMA weights
+    (distinct from the raw ones) and the marker says 'ema'."""
+    import json
+    import os
+
+    import jax
+    import numpy as np
+
+    from ndivplanning_tpu.train import loop as loop_mod
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+
+    cfg = get_config("goalcond", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, log_every=5,
+                     eval_every=5, checkpoint_every=10,
+                     eval_suite_scenes=16, steps=15, g_ema_decay=0.9)
+
+    def fake_eval(cfg_, state_, n_scenes=0, seed=0, use_ema=True):
+        return {"eval_success_rate": 0.9 if use_ema else 0.2}
+
+    monkeypatch.setattr(loop_mod, "evaluate_fixed", fake_eval)
+    train(cfg, workdir=str(tmp_path), echo=False)
+
+    best_dir = os.path.join(str(tmp_path), "best")
+    marker = json.load(open(os.path.join(best_dir, "best_path.json"),
+                            encoding="utf-8"))
+    assert marker["eval_path"] == "ema"
+    best = ckpt.restore_latest(best_dir, create_train_state(cfg))
+    live = jax.tree.leaves(best.g_params)[0]
+    ema = jax.tree.leaves(best.g_ema_params)[0]
+    assert not np.allclose(np.asarray(live), np.asarray(ema))

@@ -155,3 +155,44 @@ def test_g_ema_tracks_and_drives_eval():
                     jax.tree.leaves(s0.g_ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert gen_params(cfg0, s0) is s0.g_params
+
+
+def test_r1_penalty_matches_manual_computation():
+    """r1_weight > 0 adds (w/2)*E_real[||dD/dtau||^2] to the D objective:
+    the d_r1 metric equals the hand-computed penalty at the PRE-update D
+    params, and d_loss shifts by exactly 0.5*w*r1 vs the unpenalised
+    config (identical seed => identical params/latents)."""
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.train.state import build_models
+
+    w = 3.0
+    cfg = _small("goalcond", r1_weight=w)
+    cfg0 = cfg.replace(r1_weight=0.0)
+    state = create_train_state(cfg)
+    task = make_task(cfg)
+    batch = task.sample(jax.random.PRNGKey(7), cfg.batch_size)
+
+    # Manual penalty at the pre-update D params, BEFORE the donated step
+    # invalidates the state's buffers.
+    _, disc = build_models(cfg)
+    d_params0 = state.d_params
+
+    def real_score(traj):
+        return jnp.sum(disc.apply(d_params0, batch.conditions, traj))
+
+    g = jax.grad(real_score)(batch.real_traj)
+    manual = float(jnp.mean(jnp.sum(jnp.square(g), axis=(1, 2))))
+
+    _, m = train_step(cfg, state, batch)
+    assert "d_r1" in m and np.isfinite(float(m["d_r1"]))
+    assert float(m["d_r1"]) >= 0.0
+    np.testing.assert_allclose(float(m["d_r1"]), manual, rtol=1e-4)
+
+    # Same seed, penalty off: d_loss differs by exactly the R1 term.
+    state0 = create_train_state(cfg0)
+    _, m0 = train_step(cfg0, state0, batch)
+    assert "d_r1" not in m0
+    np.testing.assert_allclose(
+        float(m["d_loss"]), float(m0["d_loss"]) + 0.5 * w * manual,
+        rtol=1e-4)
