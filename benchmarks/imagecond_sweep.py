@@ -38,6 +38,14 @@ VARIANTS = {
     "ema999": {"g_ema_decay": 0.999},
     "ema999_bigenc": {"g_ema_decay": 0.999,
                       "encoder_features": (32, 64, 128)},
+    # R1 gradient penalty (Mescheder et al. 2018): targets the measured
+    # late-soak D-overpowers-G collapse (g_ndiv -> 0 past ~45k steps) —
+    # its effect shows mainly in 50k soaks (convergence_fixed.py with
+    # {"r1_weight": ...} overrides), but the short-horizon cost/benefit
+    # belongs in this sweep for completeness.
+    "r1_01": {"r1_weight": 0.1},
+    "r1_1": {"r1_weight": 1.0},
+    "ema999_r1_01": {"g_ema_decay": 0.999, "r1_weight": 0.1},
 }
 
 

@@ -34,17 +34,12 @@ from ndivplanning_tpu.envs.types import Scene
 from ndivplanning_tpu.planning.planner import (
     PlanResult,
     _diverse_top_m,
+    decode_latents as _decode,
     score_rollouts,
 )
-from ndivplanning_tpu.train.state import TrainState, build_models, gen_params
+from ndivplanning_tpu.train.state import TrainState
 from ndivplanning_tpu.utils.config import Config
 
-
-def _decode(cfg: Config, state: TrainState, condition: jnp.ndarray,
-            z: jnp.ndarray) -> jnp.ndarray:
-    """G(c, z) for one condition: ``z [N, zdim] -> taus [N, H, S]``."""
-    gen, _ = build_models(cfg)
-    return gen.apply(gen_params(cfg, state), condition[None], z[None])[0]
 
 
 def _cem_impl(cfg: Config, state: TrainState, scene: Scene,

@@ -84,6 +84,15 @@ def generate_candidates(cfg: Config, state: TrainState,
     return gen.apply(gen_params(cfg, state), condition[None], z)[0]
 
 
+def decode_latents(cfg: Config, state: TrainState, condition: jnp.ndarray,
+                   z: jnp.ndarray) -> jnp.ndarray:
+    """G(c, z) for one condition: ``z [N, zdim] -> taus [N, H, S]`` — the
+    latent-refinement planners' decode step (cem.py / grad_refine.py),
+    same EMA-weight convention as :func:`generate_candidates`."""
+    gen, _ = build_models(cfg)
+    return gen.apply(gen_params(cfg, state), condition[None], z[None])[0]
+
+
 def score_rollouts(cfg: Config, scene: Scene, taus: jnp.ndarray,
                    weights: ScoreWeights, state0=None):
     """vmapped sim-in-the-loop scoring of candidates, optionally from a

@@ -34,6 +34,7 @@ bucket's static shape).
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import os
@@ -61,6 +62,14 @@ def _condition_for(cfg: Config, scene: Scene) -> jnp.ndarray:
     if cfg.conditioning == "startgoal":
         return jnp.concatenate([scene.start, scene.goal])
     return jnp.zeros((0,), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _conditions_for_batch(cfg: Config, scene_b: Scene) -> jnp.ndarray:
+    """Conditions for a STACKED scene pytree in one dispatch — a
+    per-scene eager loop would pay the ~35 ms tunnel round-trip per
+    scene (image rasterisation dominated a 16-burst before this)."""
+    return jax.vmap(lambda s: _condition_for(cfg, s))(scene_b)
 
 
 def _bucket_for(n: int) -> int:
@@ -106,7 +115,7 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
 
         t0 = time.perf_counter()
         scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-        cond_b = jnp.stack([_condition_for(cfg, s) for s in padded])
+        cond_b = _conditions_for_batch(cfg, scene_b)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, bucket)
         if refine == "cem":

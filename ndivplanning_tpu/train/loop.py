@@ -13,6 +13,7 @@ import time
 from typing import Optional
 
 import jax
+import numpy as np
 
 from ndivplanning_tpu.train.evaluate import evaluate_fixed
 from ndivplanning_tpu.train.state import TrainState, create_train_state
@@ -27,10 +28,25 @@ def _dataset_marker_path(workdir: str) -> str:
 
 
 def _dataset_fingerprint(dataset, cfg: Config) -> dict:
+    import hashlib
+
+    # Content hash, not just shape: two same-shaped recordings (e.g. a
+    # re-recorded npz with another seed) must NOT be resumable into each
+    # other's workdir — the step counter is a position in ONE dataset's
+    # deterministic batch order.  Recorded datasets are MB-scale, so
+    # hashing the full bytes is cheap (one-time at loop start).
+    h = hashlib.blake2b(digest_size=16)
+    for name in sorted(dataset.arrays):
+        a = np.ascontiguousarray(dataset.arrays[name])
+        h.update(name.encode())
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
     return {"dataset_size": int(dataset.size),
             "batch_size": int(cfg.batch_size),
             "seed": int(cfg.seed),
-            "arrays": sorted(dataset.arrays)}
+            "arrays": sorted(dataset.arrays),
+            "content_blake2b": h.hexdigest()}
 
 
 def _write_dataset_marker(workdir: str, dataset, cfg: Config) -> None:
@@ -71,9 +87,37 @@ _LOWER_BETTER = frozenset({
 
 
 def _improved(name: str, value: float, best: Optional[float]) -> bool:
-    if best is None:
+    import math
+
+    # A NaN metric must never win (and must never become the bar that
+    # every later finite value fails to clear — NaN comparisons are all
+    # False, which would freeze the tracker for the rest of the run).
+    if value is None or not math.isfinite(value):
+        return False
+    if best is None or not math.isfinite(best):
         return True
     return value < best if name in _LOWER_BETTER else value > best
+
+
+def _load_best_metric(workdir: Optional[str], cfg: Config) -> Optional[float]:
+    """The tracked metric's value recorded in <workdir>/best/best_path.json,
+    or None.  Loaded at loop start so a RESUMED run's tracker continues
+    from the already-saved best instead of letting the first post-resume
+    eval (possibly an oscillation trough) overwrite a better artifact."""
+    import json
+
+    if not workdir or not cfg.track_best_metric:
+        return None
+    path = os.path.join(workdir, "best", "best_path.json")
+    try:
+        with open(path, encoding="utf-8") as f:
+            marker = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if marker.get("metric") != cfg.track_best_metric:
+        return None
+    value = marker.get("value")
+    return float(value) if isinstance(value, (int, float)) else None
 
 
 def _write_best_marker(best_dir: str, eval_path: str, metric: str,
@@ -131,8 +175,8 @@ def _track_best(cfg: Config, workdir, step: int, candidates,
     for eval_path, metric, cand_state in candidates:
         if metric is None:
             continue
-        if winner is None or _improved(cfg.track_best_metric, metric,
-                                       winner[1]):
+        if _improved(cfg.track_best_metric, metric,
+                     winner[1] if winner else None):
             winner = (eval_path, metric, cand_state)
     if (workdir and winner is not None
             and _improved(cfg.track_best_metric, winner[1], best_metric)):
@@ -142,6 +186,89 @@ def _track_best(cfg: Config, workdir, step: int, candidates,
         _write_best_marker(best_dir, winner[0], cfg.track_best_metric,
                            winner[1], step)
     return best_metric
+
+
+class _LoopObserver:
+    """The host-side bookkeeping both training loops share: chunk
+    boundaries, log cadence (steps/sec + JSONL row), checkpoint cadence,
+    frozen/held-out eval with best-of-both checkpoint tracking, and the
+    interrupt-safe final save.  The loops differ only in how they
+    produce chunks of steps (on-device sampler scan vs host-batch
+    stream); everything that happens AT a boundary lives here once —
+    the best-metric-resume bug existed twice before this.
+
+    ``eval_fn(state, step, use_ema) -> {metric: float}`` or None to
+    disable eval (the dataset loop without a held-out slice).
+    """
+
+    def __init__(self, cfg: Config, workdir: Optional[str],
+                 total_steps: int, writer: MetricsWriter, eval_fn=None):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.total = total_steps
+        self.writer = writer
+        self.eval_fn = eval_fn
+        self.history: list[dict] = []
+        self.best_metric = _load_best_metric(workdir, cfg)
+        self.t_last = time.monotonic()
+        self.steps_since_log = 0
+
+    def next_boundary(self, s: int) -> int:
+        """First step > s where the host must look at the run."""
+        cfg = self.cfg
+        cands = [self.total]
+        for every in (cfg.log_every, cfg.checkpoint_every, cfg.eval_every):
+            if every:
+                cands.append((s // every + 1) * every)
+        return min(c for c in cands if c > s)
+
+    def at_boundary(self, state: TrainState, step: int, n: int,
+                    last: dict) -> None:
+        """Log/checkpoint/eval actions after a chunk of ``n`` steps
+        landed the run at ``step``; ``last`` is the newest metrics row
+        (mutated in place to add steps_per_sec)."""
+        cfg = self.cfg
+        self.steps_since_log += n
+        if cfg.log_every and (step % cfg.log_every == 0
+                              or step >= self.total):
+            now = time.monotonic()
+            last["steps_per_sec"] = self.steps_since_log / max(
+                now - self.t_last, 1e-9)
+            self.t_last = now
+            self.steps_since_log = 0
+            self.writer.write(step, last)
+            self.history.append({"step": step, **last})
+        if (self.workdir and cfg.checkpoint_every
+                and step % cfg.checkpoint_every == 0):
+            ckpt.save_checkpoint(self.workdir, state)
+        if (self.eval_fn is not None and cfg.eval_every
+                and step % cfg.eval_every == 0 and step < self.total):
+            ev = self.eval_fn(state, step, True)
+            # Best-of-both selection (raw + EMA, _best_candidates) — the
+            # candidates are computed BEFORE the writer call so the eval
+            # row carries the raw path's tracked metric too.
+            candidates = _best_candidates(
+                cfg, state, ev,
+                raw_eval_fn=lambda: self.eval_fn(state, step, False))
+            self.writer.write(step, ev, kind="eval")
+            self.best_metric = _track_best(cfg, self.workdir, step,
+                                           candidates, self.best_metric)
+
+    def final_save(self, state: TrainState) -> None:
+        if self.workdir and self.cfg.checkpoint_every:
+            ckpt.save_checkpoint(self.workdir, state)
+
+    def interrupt_save(self, state: TrainState) -> None:
+        """Graceful-stop save (SURVEY.md §5 failure/resume).  ``state``
+        holds the newest completed dispatch's OUTPUT, which is save-able;
+        only if the interrupt landed inside a dispatch does ``state``
+        still name the donated input — then saving raises and we skip it
+        (the periodic checkpoint remains the resume point)."""
+        if self.workdir and self.cfg.checkpoint_every:
+            try:
+                ckpt.save_checkpoint(self.workdir, state)
+            except Exception:
+                pass
 
 
 def train(cfg: Config, num_steps: Optional[int] = None,
@@ -195,23 +322,19 @@ def train(cfg: Config, num_steps: Optional[int] = None,
         state = shard_state(state, mesh)
 
     writer = MetricsWriter(workdir, echo=echo)
-    history: list[dict] = []
-    t_last = time.monotonic()
-
-    def next_boundary(s: int) -> int:
-        """First step > s where the host must look at the run."""
-        cands = [num_steps]
-        for every in (cfg.log_every, cfg.checkpoint_every, cfg.eval_every):
-            if every:
-                cands.append((s // every + 1) * every)
-        return min(c for c in cands if c > s)
+    # Frozen-suite eval: step-to-step comparable numbers (sampled eval
+    # is available via evaluate()).
+    obs = _LoopObserver(
+        cfg, workdir, num_steps, writer,
+        eval_fn=lambda state, step, use_ema: {
+            k: float(v) for k, v in evaluate_fixed(
+                cfg, state, n_scenes=cfg.eval_suite_scenes,
+                use_ema=use_ema).items()})
 
     step = int(state.step)
-    steps_since_log = 0
-    best_metric = None
     try:
         while step < num_steps:
-            target = next_boundary(step)
+            target = obs.next_boundary(step)
             chunk = target - step
             # Chunked lax.scan execution amortises per-step dispatch
             # latency.  With default config the boundaries align so
@@ -226,38 +349,7 @@ def train(cfg: Config, num_steps: Optional[int] = None,
             # interrupt here still checkpoints.
             last = {k: float(v[-1]) for k, v in metrics.items()}
             step = target
-            steps_since_log += chunk
-
-            if cfg.log_every and (step % cfg.log_every == 0
-                                  or step == num_steps):
-                now = time.monotonic()
-                last["steps_per_sec"] = steps_since_log / max(
-                    now - t_last, 1e-9)
-                t_last = now
-                steps_since_log = 0
-                writer.write(step, last)
-                history.append({"step": step, **last})
-            if (workdir and cfg.checkpoint_every
-                    and step % cfg.checkpoint_every == 0):
-                ckpt.save_checkpoint(workdir, state)
-            if (cfg.eval_every and step % cfg.eval_every == 0
-                    and step < num_steps):
-                # Frozen-suite eval: step-to-step comparable numbers
-                # (sampled eval is available via evaluate()).
-                ev = {k: float(v) for k, v in evaluate_fixed(
-                    cfg, state, n_scenes=cfg.eval_suite_scenes).items()}
-                # Keep the best checkpoint by the tracked metric over
-                # BOTH generator paths (raw + EMA): GAN quality
-                # oscillates, so last != best, and the EMA peak can sit
-                # below the raw one (_best_candidates).
-                candidates = _best_candidates(
-                    cfg, state, ev,
-                    raw_eval_fn=lambda: evaluate_fixed(
-                        cfg, state, n_scenes=cfg.eval_suite_scenes,
-                        use_ema=False))
-                writer.write(step, ev, kind="eval")
-                best_metric = _track_best(cfg, workdir, step, candidates,
-                                          best_metric)
+            obs.at_boundary(state, step, chunk, last)
 
         # Compile-budget log (one line): how many XLA programs this run
         # actually compiled — major ones cost 90-300 s each on the TPU
@@ -268,24 +360,14 @@ def train(cfg: Config, num_steps: Optional[int] = None,
             "xla_major_programs": len(compile_rec.major()),
             "xla_compile_secs": round(compile_rec.total_secs(), 2),
         }, kind="compile")
-        if workdir and cfg.checkpoint_every:
-            ckpt.save_checkpoint(workdir, state)
+        obs.final_save(state)
     except KeyboardInterrupt:
-        # Graceful stop (SURVEY.md §5 failure/resume).  `state` holds the
-        # newest completed dispatch's OUTPUT, which is save-able; only if
-        # the interrupt landed inside a dispatch itself does `state`
-        # still name the donated input — then saving raises and we skip
-        # it (the periodic checkpoint remains the resume point).
-        if workdir and cfg.checkpoint_every:
-            try:
-                ckpt.save_checkpoint(workdir, state)
-            except Exception:
-                pass
+        obs.interrupt_save(state)
         raise
     finally:
         stop_compile_count()
         writer.close()
-    return state, history
+    return state, obs.history
 
 
 def _make_dataset_chunk_step(cfg: Config, mesh=None):
@@ -354,8 +436,6 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
     ``dataset`` is an ArrayDataset with ``conditions``/``real_traj`` (and
     ``scene_*`` when recorded).  Returns (state, last_metrics_dict).
     """
-    import numpy as np
-
     from ndivplanning_tpu.data.host_pipeline import (
         prefetch_to_device,
         scenes_from_arrays,
@@ -412,17 +492,23 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
         eval_batch = jax.device_put(to_batch(
             {k: v[:n_eval] for k, v in eval_dataset.arrays.items()}))
 
-    def next_boundary(s: int) -> int:
-        cands = [total_steps]
-        for every in (cfg.log_every, cfg.checkpoint_every, cfg.eval_every):
-            if every:
-                cands.append((s // every + 1) * every)
-        return min(c for c in cands if c > s)
-
     step = int(state.step)
     if step >= total_steps:
         return state, {}
     start_step = step  # frozen: the generator must not see `step` advance
+
+    writer = MetricsWriter(workdir, echo=echo)
+    eval_fn = None
+    if eval_batch is not None:
+        def eval_fn(state, step, use_ema):
+            # Honest held-out eval against the eval slice's TRUE scenes.
+            eval_key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed + 1), step)
+            return {k: float(v) for k, v in evaluate_on_batch(
+                cfg, state, eval_key, eval_batch,
+                use_ema=use_ema).items()}
+    obs = _LoopObserver(cfg, workdir, total_steps, writer, eval_fn=eval_fn)
+    next_boundary = obs.next_boundary
 
     def chunk_stream():
         """Stacked-batch chunks, skipping the resumed run's consumed
@@ -447,11 +533,6 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
         if pending:  # dataset truncation (drop_remainder) tail
             yield jax.tree.map(lambda *xs: np.stack(xs), *pending)
 
-    writer = MetricsWriter(workdir, echo=echo)
-    history: list[dict] = []
-    t_last = time.monotonic()
-    steps_since_log = 0
-    best_metric = None
     last: dict = {}
     try:
         for batch_stack in prefetch_to_device(chunk_stream(),
@@ -460,44 +541,11 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
             state, metrics = run_chunk(state, batch_stack)
             last = {k: float(v[-1]) for k, v in metrics.items()}
             step += n
-            steps_since_log += n
+            obs.at_boundary(state, step, n, last)
 
-            if cfg.log_every and (step % cfg.log_every == 0
-                                  or step >= total_steps):
-                now = time.monotonic()
-                last["steps_per_sec"] = steps_since_log / max(
-                    now - t_last, 1e-9)
-                t_last = now
-                steps_since_log = 0
-                writer.write(step, last)
-                history.append({"step": step, **last})
-            if (workdir and cfg.checkpoint_every
-                    and step % cfg.checkpoint_every == 0):
-                ckpt.save_checkpoint(workdir, state)
-            if (eval_batch is not None and cfg.eval_every
-                    and step % cfg.eval_every == 0 and step < total_steps):
-                eval_key = jax.random.fold_in(
-                    jax.random.PRNGKey(cfg.seed + 1), step)
-                ev = {k: float(v) for k, v in evaluate_on_batch(
-                    cfg, state, eval_key, eval_batch).items()}
-                # Best-of-both checkpoint tracking, same protocol as
-                # train() but against the held-out dataset slice.
-                candidates = _best_candidates(
-                    cfg, state, ev,
-                    raw_eval_fn=lambda: evaluate_on_batch(
-                        cfg, state, eval_key, eval_batch, use_ema=False))
-                writer.write(step, ev, kind="eval")
-                best_metric = _track_best(cfg, workdir, step, candidates,
-                                          best_metric)
-
-        if workdir and cfg.checkpoint_every:
-            ckpt.save_checkpoint(workdir, state)
+        obs.final_save(state)
     except KeyboardInterrupt:
-        if workdir and cfg.checkpoint_every:
-            try:
-                ckpt.save_checkpoint(workdir, state)
-            except Exception:
-                pass
+        obs.interrupt_save(state)
         raise
     finally:
         writer.close()

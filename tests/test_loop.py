@@ -146,3 +146,95 @@ def test_best_of_both_ema_winner_keeps_ema(tmp_path, monkeypatch):
     live = jax.tree.leaves(best.g_params)[0]
     ema = jax.tree.leaves(best.g_ema_params)[0]
     assert not np.allclose(np.asarray(live), np.asarray(ema))
+
+
+def test_best_metric_survives_resume(tmp_path, monkeypatch):
+    """A resumed run's best tracker continues from the value recorded in
+    best/best_path.json — the first post-resume eval (an oscillation
+    trough) must NOT overwrite a better already-saved best."""
+    import json
+    import os
+
+    from ndivplanning_tpu.train import loop as loop_mod
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+
+    cfg = get_config("pointmass2d", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, log_every=5,
+                     eval_every=5, checkpoint_every=10,
+                     eval_suite_scenes=16, steps=10)
+
+    monkeypatch.setattr(loop_mod, "evaluate_fixed",
+                        lambda *a, **k: {"eval_success_rate": 0.8})
+    train(cfg, workdir=str(tmp_path), echo=False)
+    best_dir = os.path.join(str(tmp_path), "best")
+    saved_step = ckpt.latest_step(best_dir)
+    assert saved_step is not None
+
+    # Resume to step 20 with WORSE eval everywhere: best must not move.
+    monkeypatch.setattr(loop_mod, "evaluate_fixed",
+                        lambda *a, **k: {"eval_success_rate": 0.1})
+    train(cfg.replace(steps=20), workdir=str(tmp_path), echo=False)
+    marker = json.load(open(os.path.join(best_dir, "best_path.json"),
+                            encoding="utf-8"))
+    assert marker["value"] == 0.8
+    assert ckpt.latest_step(best_dir) == saved_step
+
+    # And a resumed IMPROVEMENT still lands.
+    monkeypatch.setattr(loop_mod, "evaluate_fixed",
+                        lambda *a, **k: {"eval_success_rate": 0.9})
+    train(cfg.replace(steps=30), workdir=str(tmp_path), echo=False)
+    marker = json.load(open(os.path.join(best_dir, "best_path.json"),
+                            encoding="utf-8"))
+    assert marker["value"] == 0.9
+
+
+def test_nan_eval_never_wins_best(tmp_path, monkeypatch):
+    """A NaN tracked metric neither saves a best checkpoint nor freezes
+    the tracker (NaN comparisons are all False — an unguarded tracker
+    would never save again after one NaN eval)."""
+    import json
+    import os
+
+    from ndivplanning_tpu.train import loop as loop_mod
+
+    cfg = get_config("pointmass2d", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, log_every=5,
+                     eval_every=5, checkpoint_every=10,
+                     eval_suite_scenes=16, steps=12)
+
+    vals = iter([float("nan"), 0.5])
+    monkeypatch.setattr(
+        loop_mod, "evaluate_fixed",
+        lambda *a, **k: {"eval_success_rate": next(vals)})
+    train(cfg, workdir=str(tmp_path), echo=False)
+    marker = json.load(open(
+        os.path.join(str(tmp_path), "best", "best_path.json"),
+        encoding="utf-8"))
+    # The NaN eval at step 5 was skipped; the 0.5 at step 10 won.
+    assert marker["value"] == 0.5
+    assert marker["step"] == 10
+
+
+def test_dataset_marker_rejects_same_shape_different_content(tmp_path):
+    """Resuming a dataset run against a DIFFERENT same-shaped dataset is
+    refused: the fingerprint hashes content, not just shapes."""
+    import numpy as np
+    import pytest
+
+    from ndivplanning_tpu.data.host_pipeline import ArrayDataset
+    from ndivplanning_tpu.train.loop import (
+        _check_dataset_marker,
+        _write_dataset_marker,
+    )
+
+    cfg = _cfg(tmp_path)
+    rng = np.random.default_rng(0)
+    mk = lambda: ArrayDataset({
+        "conditions": rng.standard_normal((32, 4)).astype(np.float32),
+        "real_traj": rng.standard_normal((32, 8, 2)).astype(np.float32)})
+    a, b = mk(), mk()
+    _write_dataset_marker(str(tmp_path), a, cfg)
+    _check_dataset_marker(str(tmp_path), a, cfg)  # same content: OK
+    with pytest.raises(ValueError, match="different dataset"):
+        _check_dataset_marker(str(tmp_path), b, cfg)
