@@ -40,6 +40,14 @@ class Scene:
         """Build a scene from concrete values, padding the obstacle buffer."""
         start = jnp.asarray(start, jnp.float32)
         goal = jnp.asarray(goal, jnp.float32)
+        # Validate eagerly: a wrong-shaped scene accepted here would only
+        # blow up later inside a BATCHED program (e.g. the serving path's
+        # jnp.stack over a request bucket), taking unrelated requests
+        # down with it.
+        if start.shape != (2,) or goal.shape != (2,):
+            raise ValueError(
+                f"start/goal must be 2D points, got shapes "
+                f"{start.shape}/{goal.shape}")
         if obstacles is None:
             obs = jnp.zeros((MAX_OBSTACLES, 3), jnp.float32)
             mask = jnp.zeros((MAX_OBSTACLES,), jnp.float32)

@@ -154,3 +154,34 @@ def test_serve_with_refinement_modes():
         assert "best_score" in lines[0]
         assert isinstance(lines[1], list) and len(lines[1]) == 2
         assert all("best_score" in r for r in lines[1])
+
+
+def test_serve_survives_adversarial_lines():
+    """Fuzz the line protocol: every malformed input gets an isolated
+    {"error": ...} reply (or is skipped when blank) and the server keeps
+    serving valid requests afterwards."""
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    bad_lines = [
+        "{}",                                     # missing keys
+        json.dumps({"start": [0.1], "goal": [0.9, 0.9]}),   # bad shape
+        json.dumps({"start": "x", "goal": [0.9, 0.9]}),     # bad type
+        json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
+                    "obstacles": [[0.5]]}),       # bad obstacle arity
+        json.dumps([1, 2, 3]),                    # array of non-objects
+        "null",
+        "[",                                      # truncated json
+        "\x00\xff garbage",
+    ]
+    good = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]})
+    stdin = io.StringIO("\n".join(bad_lines + [good, "quit"]) + "\n")
+    stdout = io.StringIO()
+    serve(cfg, state, stdin=stdin, stdout=stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert len(lines) == len(bad_lines) + 1
+    for reply in lines[:-1]:
+        if isinstance(reply, list):
+            assert all("error" in r for r in reply)
+        else:
+            assert "error" in reply
+    assert "best_score" in lines[-1]
