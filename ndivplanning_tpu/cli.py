@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 import jax
 
@@ -177,6 +178,14 @@ def main(argv=None) -> int:
                                 "rollout budget as one-shot); 'grad' "
                                 "runs Adam on the soft differentiable "
                                 "objective through G + the env")
+        if name == "serve":
+            p.add_argument("--warmup", action="store_true",
+                           help="pre-compile every request-bucket "
+                                "program before reading stdin (each "
+                                "distinct program costs 90-300 s to "
+                                "compile on a remote-compile TPU; "
+                                "without this the first request of "
+                                "each bucket size pays it live)")
         if name == "record-data":
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
@@ -322,9 +331,13 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "serve":
-        from ndivplanning_tpu.planning.server import serve
+        from ndivplanning_tpu.planning.server import serve, warmup
 
         state = _load_state(cfg)
+        if args.warmup:
+            secs = warmup(cfg, state, refine=args.refine)
+            print(f"[serve] warmup: all request buckets compiled in "
+                  f"{secs:.1f} s", file=sys.stderr, flush=True)
         served = serve(cfg, state, refine=args.refine)
         print(json.dumps({"served": served}))
         return 0

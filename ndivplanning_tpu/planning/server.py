@@ -239,6 +239,28 @@ class _LineSource:
         return out
 
 
+def warmup(cfg: Config, state: TrainState, n_diverse: int = 4,
+           refine: str = "none", buckets=BUCKETS) -> float:
+    """Pre-compile every bucket's serving programs; returns elapsed
+    seconds.
+
+    On a remote-compile TPU each distinct program costs 90-300 s to
+    build; without warmup the FIRST request of each bucket size pays
+    that latency live, which no production deployment can accept.  Runs
+    one dummy batch per bucket through :func:`handle_batch` (responses
+    discarded) so the condition-building and plan/refine programs for
+    all of ``buckets`` are in the jit cache before traffic arrives.
+    """
+    key = jax.random.PRNGKey(0)
+    dummy = {"start": [0.1, 0.1], "goal": [0.9, 0.9],
+             "obstacles": [[0.5, 0.5, 0.1]]}
+    t0 = time.perf_counter()
+    for b in buckets:
+        handle_batch(cfg, state, [dict(dummy) for _ in range(b)], key,
+                     n_diverse=n_diverse, refine=refine)
+    return time.perf_counter() - t0
+
+
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
           stdout: IO[str] = sys.stdout, seed: int = 0,
           max_coalesce: int = BUCKETS[-1], refine: str = "none") -> int:
@@ -248,7 +270,8 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     objects (answered with an array, planned as one batch).  Bursts of
     pending lines additionally coalesce into shared dispatches.
     ``refine`` ("cem" | "grad") serves latent-refined plans instead of
-    one-shot samples.
+    one-shot samples.  Call :func:`warmup` first to pre-compile all
+    bucket programs (the CLI's ``--warmup``).
     """
     key = jax.random.PRNGKey(seed)
     source = _LineSource(stdin)

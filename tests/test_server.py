@@ -185,3 +185,30 @@ def test_serve_survives_adversarial_lines():
         else:
             assert "error" in reply
     assert "best_score" in lines[-1]
+
+
+def test_warmup_precompiles_all_buckets():
+    """warmup() leaves every bucket program in the jit cache: serving
+    any burst size afterwards triggers ZERO new backend compilations
+    (on the TPU tunnel each one would be 90-300 s of live latency)."""
+    from ndivplanning_tpu.planning.server import warmup
+    from ndivplanning_tpu.utils.compile_guard import start_compile_count
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    secs = warmup(cfg, state)
+    assert secs > 0
+
+    rec, stop = start_compile_count()
+    try:
+        stdin = io.StringIO(
+            json.dumps({"start": [0.3, 0.2], "goal": [0.7, 0.8]}) + "\n"
+            + json.dumps([{"start": [0.1 * i, 0.1], "goal": [0.9, 0.8]}
+                          for i in range(5)]) + "\n"
+            + "quit\n")
+        stdout = io.StringIO()
+        served = serve(cfg, state, stdin=stdin, stdout=stdout)
+    finally:
+        stop()
+    assert served == 2
+    assert rec.count == 0, f"post-warmup compiles: {rec.names}"
