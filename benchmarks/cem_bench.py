@@ -2,7 +2,8 @@
 
 Trains a preset briefly on-device (train_chunk), then plans every scene
 of the frozen eval suite two ways with the SAME total rollout budget
-(n_candidates one-shot vs n_candidates/cem_iters per CEM iteration) and
+(n_candidates one-shot vs n_candidates/(cem_iters+1) per CEM population,
+counting the final selection population) and
 compares goal-reach rate and mean best score.
 
     python benchmarks/cem_bench.py [train_steps] [n_scenes] [presets...]

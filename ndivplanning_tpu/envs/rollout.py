@@ -50,10 +50,6 @@ class ScoreWeights(NamedTuple):
     control: float = 0.01
 
 
-def _pd_control(pos, vel, target, kp=8.0, kd=2.0):
-    return kp * (target - pos) - kd * vel
-
-
 def _rollout_scan(params: EnvParams, scene: Scene, tau: jnp.ndarray,
                   mode: str, weights: ScoreWeights,
                   state0: EnvState | None = None,

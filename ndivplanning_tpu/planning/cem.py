@@ -68,7 +68,10 @@ def _cem_impl(cfg: Config, state: TrainState, scene: Scene,
         it_best = jnp.argmin(scores)
         improved = scores[it_best] < best_score
         best_z = jnp.where(improved, z[it_best], best_z)
-        best_score = jnp.minimum(scores[it_best], best_score)
+        # where(improved, ...) not jnp.minimum: minimum propagates a NaN
+        # score into best_score forever (all later < comparisons False),
+        # freezing the tracker even when later populations are clean.
+        best_score = jnp.where(improved, scores[it_best], best_score)
         return ((new_mu, new_sigma, best_z, best_score, key),
                 best_score)
 
@@ -122,12 +125,14 @@ def plan_cem(cfg: Config, state: TrainState, scene: Scene,
     is the best-so-far score after each iteration (monotone
     non-increasing — the refinement-progress signal).
 
-    Defaults: population = ``cfg.n_candidates / cem_iters`` so the TOTAL
-    rollout budget matches the one-shot planner's; elite = 10% of the
-    population (≥ 2).
+    Defaults: population = ``cfg.n_candidates / (cem_iters + 1)`` —
+    the scan runs ``cem_iters`` populations plus one final population
+    from the refined Gaussian, so this makes the TOTAL rollout budget
+    (``(cem_iters+1) * n``) match the one-shot planner's
+    ``n_candidates``; elite = 10% of the population (>= 2).
     """
     iters = cfg.cem_iters if n_iters is None else n_iters
-    n = (max(cfg.n_candidates // iters, 2)
+    n = (max(cfg.n_candidates // (iters + 1), 2)
          if n_candidates is None else n_candidates)
     elite = max(n // 10, 2) if n_elite is None else n_elite
     return _cem_impl(cfg, state, scene, condition, key, n, elite, iters,
@@ -146,7 +151,7 @@ def plan_cem_batch(cfg: Config, state: TrainState, scenes: Scene,
                    weights: ScoreWeights = ScoreWeights()):
     """Batched ``plan_cem`` (vmap over scenes, same program)."""
     iters = cfg.cem_iters if n_iters is None else n_iters
-    n = (max(cfg.n_candidates // iters, 2)
+    n = (max(cfg.n_candidates // (iters + 1), 2)
          if n_candidates is None else n_candidates)
     elite = max(n // 10, 2) if n_elite is None else n_elite
     return jax.vmap(

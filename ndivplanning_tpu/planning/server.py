@@ -293,8 +293,12 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
             if not raw:
                 continue
             if raw == "quit":
+                # Keep processing the rest of the burst: these lines
+                # were already consumed from the pipe, so skipping them
+                # would leave their clients waiting forever for the
+                # one-response-per-line contract to be honoured.
                 stop = True
-                break
+                continue
             try:
                 parsed = json.loads(raw)
             except Exception as e:  # noqa: BLE001

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from ndivplanning_tpu.data.tasks import make_task
 from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
-from ndivplanning_tpu.envs.types import EnvParams
 from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
 from ndivplanning_tpu.ops.pairwise import pairwise_l2
 from ndivplanning_tpu.train.state import (

@@ -241,8 +241,12 @@ class _LoopObserver:
         if (self.workdir and cfg.checkpoint_every
                 and step % cfg.checkpoint_every == 0):
             ckpt.save_checkpoint(self.workdir, state)
+        # The final step evals too (not just eval_every multiples):
+        # otherwise a run whose quality peaks in its last window can
+        # never win best-checkpoint selection, and short dataset runs
+        # (total < eval_every) would never eval at all.
         if (self.eval_fn is not None and cfg.eval_every
-                and step % cfg.eval_every == 0 and step < self.total):
+                and (step % cfg.eval_every == 0 or step >= self.total)):
             ev = self.eval_fn(state, step, True)
             # Best-of-both selection (raw + EMA, _best_candidates) — the
             # candidates are computed BEFORE the writer call so the eval
@@ -502,8 +506,11 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
     if eval_batch is not None:
         def eval_fn(state, step, use_ema):
             # Honest held-out eval against the eval slice's TRUE scenes.
-            eval_key = jax.random.fold_in(
-                jax.random.PRNGKey(cfg.seed + 1), step)
+            # FIXED latent key (not folded with step): per-step draws
+            # would make the best-of tracker select on latent-draw luck
+            # instead of generator quality — the same frozen-eval
+            # discipline train() gets from evaluate_fixed.
+            eval_key = jax.random.PRNGKey(cfg.seed + 1)
             return {k: float(v) for k, v in evaluate_on_batch(
                 cfg, state, eval_key, eval_batch,
                 use_ema=use_ema).items()}

@@ -7,6 +7,7 @@ workload, CLI overrides, hashable so configs can key jit caches.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 
@@ -166,13 +167,22 @@ PRESETS = {
 
 
 def get_config(preset: str, **overrides) -> Config:
-    """Fetch a preset by name with field overrides."""
+    """Fetch a preset by name with field overrides.
+
+    The default workdir is namespaced per preset
+    (``/tmp/ndivplanning_tpu/<preset>``): with a SHARED default dir, two
+    presets with identical TrainState schemas (e.g. goalcond then
+    pod_dp, both run without --workdir) would silently cross-restore
+    each other's checkpoints and overwrite each other's config.json."""
     try:
         cfg = PRESETS[preset]
     except KeyError:
         raise ValueError(
             f"unknown preset {preset!r}; choose from {sorted(PRESETS)}"
         ) from None
+    if "workdir" not in overrides and cfg.workdir == Config.workdir:
+        overrides = {**overrides,
+                     "workdir": os.path.join(cfg.workdir, preset)}
     return cfg.replace(**overrides) if overrides else cfg
 
 

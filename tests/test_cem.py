@@ -90,9 +90,14 @@ def test_cem_batch_matches_single():
 
 
 def test_cem_default_budget_matches_one_shot():
-    """Default population x iterations == cfg.n_candidates total rollouts."""
+    """Default population x (iterations + final population) ==
+    cfg.n_candidates total rollouts — the scan's cem_iters populations
+    PLUS the final selection population all count against the one-shot
+    planner's budget."""
     cfg, state, scene, condition = _setup()
     result, curve = plan_cem(cfg, state, scene, condition,
                              jax.random.PRNGKey(8))
     assert curve.shape == (cfg.cem_iters,)
-    assert result.taus.shape[0] == max(cfg.n_candidates // cfg.cem_iters, 2)
+    n = max(cfg.n_candidates // (cfg.cem_iters + 1), 2)
+    assert result.taus.shape[0] == n
+    assert n * (cfg.cem_iters + 1) <= cfg.n_candidates

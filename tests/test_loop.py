@@ -56,8 +56,8 @@ def test_best_checkpoint_tracking(tmp_path):
     best_dir = os.path.join(str(tmp_path), "best")
     assert ckpt.latest_step(best_dir) is not None
     best = ckpt.restore_latest(best_dir, create_train_state(cfg))
-    # Best checkpoint is from one of the eval boundaries.
-    assert int(best.step) in (5, 10)
+    # Best checkpoint is from one of the eval boundaries (final included).
+    assert int(best.step) in (5, 10, 15)
 
     # Metrics stream carries the frozen-suite eval rows.
     import json
@@ -203,7 +203,7 @@ def test_nan_eval_never_wins_best(tmp_path, monkeypatch):
                      eval_every=5, checkpoint_every=10,
                      eval_suite_scenes=16, steps=12)
 
-    vals = iter([float("nan"), 0.5])
+    vals = iter([float("nan"), 0.5, 0.4])  # evals at 5, 10, 12 (final)
     monkeypatch.setattr(
         loop_mod, "evaluate_fixed",
         lambda *a, **k: {"eval_success_rate": next(vals)})
