@@ -99,12 +99,35 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     tau_fake = gen.apply(state.g_params, batch.conditions, z)
     tau_fake_sg = jax.lax.stop_gradient(tau_fake)
 
+    # Instance noise on everything D sees (config.py): annealed sigma is
+    # a TRACED function of state.step — no recompile per step.
+    in_sigma = cfg.instance_noise_sigma
+    if in_sigma > 0:
+        rng, k_nr, k_nf, k_ng = jax.random.split(rng, 4)
+        sigma = jnp.asarray(in_sigma, jnp.float32)
+        if cfg.instance_noise_anneal > 0:
+            sigma = sigma * jnp.clip(
+                1.0 - state.step.astype(jnp.float32)
+                / cfg.instance_noise_anneal, 0.0, 1.0)
+        real_for_d = batch.real_traj + sigma * jax.random.normal(
+            k_nr, batch.real_traj.shape, jnp.float32)
+        fake_for_d = tau_fake_sg + sigma * jax.random.normal(
+            k_nf, tau_fake_sg.shape, jnp.float32)
+
+        def noise_g(tau):
+            return tau + sigma * jax.random.normal(k_ng, tau.shape,
+                                                   jnp.float32)
+    else:
+        sigma = jnp.asarray(0.0, jnp.float32)
+        real_for_d, fake_for_d = batch.real_traj, tau_fake_sg
+        noise_g = lambda tau: tau
+
     # ---------------- D update ----------------
     r1_w = cfg.r1_weight
 
     def d_loss(d_params):
-        real_logits = disc.apply(d_params, batch.conditions, batch.real_traj)
-        fake_logits = disc.apply(d_params, batch.conditions, tau_fake_sg)
+        real_logits = disc.apply(d_params, batch.conditions, real_for_d)
+        fake_logits = disc.apply(d_params, batch.conditions, fake_for_d)
         loss = d_loss_fn_of(real_logits, fake_logits)
         if r1_w > 0:
             # R1 penalty: squared grad norm of D's real-sample logits wrt
@@ -115,7 +138,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
                 return jnp.sum(
                     disc.apply(d_params, batch.conditions, traj))
 
-            g_traj = jax.grad(real_score)(batch.real_traj)  # [B, H, S]
+            # Penalise at the (possibly noised) points D actually sees.
+            g_traj = jax.grad(real_score)(real_for_d)  # [B, H, S]
             r1 = jnp.mean(jnp.sum(
                 jnp.square(g_traj.astype(jnp.float32)), axis=(1, 2)))
             loss = loss + 0.5 * r1_w * r1
@@ -134,11 +158,14 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
 
     def g_loss(g_params):
         tau = gen.apply(g_params, batch.conditions, z)
+        # Same instance-noise treatment in the G update: gradients flow
+        # through the additive noise to tau unchanged.
+        tau_d = noise_g(tau)
         if fm_w > 0:
             fake_logits, fake_feats = disc.apply(
-                d_params, batch.conditions, tau, return_features=True)
+                d_params, batch.conditions, tau_d, return_features=True)
             _, real_feats = disc.apply(
-                d_params, batch.conditions, batch.real_traj,
+                d_params, batch.conditions, real_for_d,
                 return_features=True)
             # Match first moments of D's last hidden features between
             # the real batch and the B*k fakes (Salimans et al. 2016).
@@ -147,7 +174,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
             real_mean = jnp.mean(real_feats, axis=0)
             fm = jnp.mean(jnp.square(real_mean - fake_mean))
         else:
-            fake_logits = disc.apply(d_params, batch.conditions, tau)
+            fake_logits = disc.apply(d_params, batch.conditions, tau_d)
             fm = jnp.asarray(0.0, jnp.float32)
         adv = g_loss_fn_of(fake_logits)
         ndiv = _ndiv(cfg, z, tau, mesh=mesh)
@@ -186,6 +213,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         metrics["g_fm"] = g_fm
     if r1_w > 0:
         metrics["d_r1"] = d_r1
+    if in_sigma > 0:
+        metrics["d_noise_sigma"] = sigma
     g_sched = lr_schedule(cfg, cfg.g_lr)
     if callable(g_sched):
         # One update per step, so the schedule position == state.step.

@@ -64,6 +64,16 @@ class Config:
     # collapse mode (imagecond soaks show g_ndiv -> 0 past ~45k steps,
     # BASELINE.md round 2).  0 disables.
     r1_weight: float = 0.0
+    # Instance noise (Sønderby et al. 2017; Arjovsky & Bottou 2017):
+    # Gaussian noise of stddev ``instance_noise_sigma`` added to EVERY
+    # trajectory the discriminator sees (real and fake, both updates),
+    # linearly annealed to zero over ``instance_noise_anneal`` steps
+    # (0 = constant sigma).  Keeps the real/fake supports overlapping so
+    # D cannot sharpen into the late-soak overpowering collapse.
+    # 0 disables (the default path's RNG stream and determinism claims
+    # are untouched).
+    instance_noise_sigma: float = 0.0
+    instance_noise_anneal: int = 0
 
     # Optimization
     g_lr: float = 1e-3

@@ -196,3 +196,35 @@ def test_r1_penalty_matches_manual_computation():
     np.testing.assert_allclose(
         float(m["d_loss"]), float(m0["d_loss"]) + 0.5 * w * manual,
         rtol=1e-4)
+
+
+def test_instance_noise_anneals_inside_the_program():
+    """instance_noise_sigma reports the annealed sigma (a traced
+    function of state.step — same compiled program at every step), hits
+    exactly 0 past the anneal horizon, and is absent when disabled."""
+    import jax.numpy as jnp
+
+    cfg = _small("goalcond", instance_noise_sigma=0.1,
+                 instance_noise_anneal=100)
+    task = make_task(cfg)
+    batch = task.sample(jax.random.PRNGKey(3), cfg.batch_size)
+
+    state = create_train_state(cfg)
+    _, m = train_step(cfg, state, batch)
+    assert np.isclose(float(m["d_noise_sigma"]), 0.1)  # step 0: full sigma
+
+    mid = create_train_state(cfg).replace(step=jnp.asarray(50, jnp.int32))
+    _, m_mid = train_step(cfg, mid, batch)
+    assert np.isclose(float(m_mid["d_noise_sigma"]), 0.05)  # halfway
+
+    done = create_train_state(cfg).replace(
+        step=jnp.asarray(200, jnp.int32))
+    _, m_done = train_step(cfg, done, batch)
+    assert float(m_done["d_noise_sigma"]) == 0.0  # clipped past horizon
+
+    for v in m.values():
+        assert np.isfinite(float(v))
+
+    _, m0 = train_step(cfg.replace(instance_noise_sigma=0.0),
+                       create_train_state(cfg), batch)
+    assert "d_noise_sigma" not in m0
