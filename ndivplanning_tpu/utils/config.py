@@ -100,8 +100,9 @@ class Config:
     n_candidates: int = 1000
     # CEM latent refinement (planning/cem.py): iterations for
     # ``plan --refine cem`` and ``plan_cem``'s default budget split
-    # (population = n_candidates / cem_iters, so total rollouts match
-    # the one-shot planner's).
+    # (population = n_candidates / (cem_iters + 1) — the final
+    # selection population counts too, so total rollouts match the
+    # one-shot planner's).
     cem_iters: int = 5
     # Gradient latent refinement (planning/grad_refine.py): Adam steps
     # on the soft differentiable objective for ``plan --refine grad``.

@@ -225,6 +225,10 @@ def test_instance_noise_anneals_inside_the_program():
     for v in m.values():
         assert np.isfinite(float(v))
 
+    # Noise is actually APPLIED, not just reported: at the same seed and
+    # batch, D's loss differs from the noiseless run (a regression that
+    # computes sigma but feeds D the clean trajectories would match).
     _, m0 = train_step(cfg.replace(instance_noise_sigma=0.0),
                        create_train_state(cfg), batch)
     assert "d_noise_sigma" not in m0
+    assert abs(float(m["d_loss"]) - float(m0["d_loss"])) > 1e-6
