@@ -38,7 +38,7 @@ def main() -> None:
                      g_hidden=(64, 64), d_hidden=(64,), cond_embed_dim=16,
                      n_candidates=128, log_every=200, eval_every=0,
                      checkpoint_every=0)
-    state, _ = train(cfg, workdir=None, echo=False)
+    state, _ = train(cfg, workdir="", echo=False)
     manifest = export_bundle(cfg, state, out)
     print(f"exported bundle to {out}:",
           json.dumps({k: manifest[k]["bytes"] for k in

@@ -280,6 +280,10 @@ def train(cfg: Config, num_steps: Optional[int] = None,
           echo: bool = True):
     """Train an NDiv-GAN per ``cfg``.
 
+    ``workdir=None`` (the default) means ``cfg.workdir`` — the
+    per-preset scratch dir unless overridden; pass ``""`` to disable
+    checkpoints/metrics/restore entirely (tests, throwaway runs).
+
     Returns (final_state, history) where history is the list of logged
     metric rows (used by the determinism tests).
     """

@@ -71,7 +71,7 @@ def test_aligned_boundaries_single_chunk_program(tmp_path):
     cfg = get_config("pointmass2d", batch_size=8, k=4, g_hidden=(32,),
                      d_hidden=(32,), cond_embed_dim=8, log_every=50,
                      eval_every=0, checkpoint_every=0)
-    train(cfg, num_steps=100, workdir=None, echo=False)  # warm
+    train(cfg, num_steps=100, workdir="", echo=False)  # warm
     with count_compiles() as rec:
-        train(cfg, num_steps=100, workdir=None, echo=False)
+        train(cfg, num_steps=100, workdir="", echo=False)
     assert rec.count == 0, f"unexpected recompiles: {rec.names}"
