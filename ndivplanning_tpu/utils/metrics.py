@@ -25,7 +25,8 @@ class MetricsWriter:
         self._echo = echo
         self._fh: IO[str] | None = None
         self._tb = None
-        if workdir is not None:
+        # "" and None both mean no persistence (train(workdir="")).
+        if workdir:
             os.makedirs(workdir, exist_ok=True)
             self._fh = open(os.path.join(workdir, filename), "a")
             if tensorboard:
