@@ -327,9 +327,22 @@ def _mfu_details(tpu: dict, probe: dict) -> dict:
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
-    if "--flops-probe" in sys.argv:
-        flops_probe()
-    else:
-        main()
+    try:
+        if "--flops-probe" in sys.argv:
+            flops_probe()
+        else:
+            main()
+    except Exception as e:  # noqa: BLE001
+        # The axon tunnel transiently fails with "TPU backend error
+        # (FailedPrecondition)" (CLAUDE.md); the fix is a fresh process.
+        # Retry ONCE by re-exec so a blip doesn't cost the bench run.
+        if ("FailedPrecondition" in str(e)
+                and not os.environ.get("_BENCH_RETRIED")):
+            print(f"[bench] transient backend error, retrying once: {e}",
+                  file=sys.stderr, flush=True)
+            os.environ["_BENCH_RETRIED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
