@@ -178,7 +178,29 @@ def main(argv=None) -> int:
                                 "rollout budget as one-shot); 'grad' "
                                 "runs Adam on the soft differentiable "
                                 "objective through G + the env")
+        if name == "plan":
+            p.add_argument("--mpc", action="store_true",
+                           help="closed-loop receding-horizon planning: "
+                                "replan every --mpc-replan steps from the "
+                                "live env state instead of executing one "
+                                "open-loop trajectory (measured 1.00 vs "
+                                "0.95 open-loop success, BASELINE.md)")
+            p.add_argument("--mpc-episodes", type=int, default=1,
+                           help="episodes to run (vmapped batch when >1: "
+                                "one compiled program, suite-scale "
+                                "closed-loop stats)")
+            p.add_argument("--mpc-steps", type=int, default=64,
+                           help="closed-loop episode length")
+            p.add_argument("--mpc-replan", type=int, default=8,
+                           help="control steps executed per replanning "
+                                "cycle (must divide --mpc-steps)")
+            p.add_argument("--mpc-candidates", type=int, default=256,
+                           help="candidate trajectories per replan")
         if name == "serve":
+            p.add_argument("--warmup-mpc", action="store_true",
+                           help="also pre-compile the closed-loop "
+                                "('mpc': true) bucket programs during "
+                                "--warmup")
             p.add_argument("--warmup", action="store_true",
                            help="pre-compile every request-bucket "
                                 "program before reading stdin (each "
@@ -265,6 +287,52 @@ def main(argv=None) -> int:
         print(json.dumps({k: float(v) for k, v in out.items()}))
         return 0
 
+    if args.cmd == "plan" and args.mpc:
+        import time
+
+        import jax.numpy as jnp
+
+        from ndivplanning_tpu.data.scenes import random_scene_batch
+        from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
+        from ndivplanning_tpu.planning.server import _conditions_for_batch
+
+        state = _load_state(cfg)
+        n_ep = args.mpc_episodes
+        keys = jax.random.split(jax.random.PRNGKey(cfg.seed + 5), n_ep)
+        scenes = random_scene_batch(jax.random.PRNGKey(cfg.seed + 3), n_ep)
+        conds = _conditions_for_batch(cfg, scenes)
+        t0 = time.perf_counter()
+        result = mpc_rollout_batch(cfg, state, scenes, conds, keys,
+                                   total_steps=args.mpc_steps,
+                                   replan_every=args.mpc_replan,
+                                   n_candidates=args.mpc_candidates)
+        reached, collided = jax.device_get((result.reached,
+                                            result.collided))
+        compile_and_run_s = time.perf_counter() - t0
+        # Steady-state episode rate (second dispatch, compile already paid).
+        t0 = time.perf_counter()
+        result = mpc_rollout_batch(cfg, state, scenes, conds, keys,
+                                   total_steps=args.mpc_steps,
+                                   replan_every=args.mpc_replan,
+                                   n_candidates=args.mpc_candidates)
+        jax.device_get(result.reached)
+        episodes_per_sec = n_ep / max(time.perf_counter() - t0, 1e-9)
+        out = {
+            "episodes": n_ep,
+            "success_rate": float(jnp.mean(jnp.asarray(reached))),
+            "collision_rate": float(jnp.mean(jnp.asarray(collided))),
+            "n_replans": int(result.n_replans),
+            "total_steps": args.mpc_steps,
+            "replan_every": args.mpc_replan,
+            "episodes_per_sec": round(episodes_per_sec, 2),
+            "first_call_s": round(compile_and_run_s, 2),
+        }
+        if n_ep == 1:
+            out["final_pos"] = [float(v)
+                                for v in jax.device_get(result.positions)[0][-1]]
+        print(json.dumps(out))
+        return 0
+
     if args.cmd == "plan":
         from ndivplanning_tpu.data.scenes import random_scene
         from ndivplanning_tpu.planning.planner import plan
@@ -335,7 +403,8 @@ def main(argv=None) -> int:
 
         state = _load_state(cfg)
         if args.warmup:
-            secs = warmup(cfg, state, refine=args.refine)
+            secs = warmup(cfg, state, refine=args.refine,
+                          mpc=args.warmup_mpc)
             print(f"[serve] warmup: all request buckets compiled in "
                   f"{secs:.1f} s", file=sys.stderr, flush=True)
         served = serve(cfg, state, refine=args.refine)

@@ -55,7 +55,12 @@ def _cem_impl(cfg: Config, state: TrainState, scene: Scene,
         z = mu + sigma * jax.random.normal(sub, (n, zdim))
         taus = _decode(cfg, state, condition, z)
         results = score_rollouts(cfg, scene, taus, weights)
-        scores = results.score
+        # NaN candidates must not become elites: top_k(-scores) ranks
+        # NaN first, which would poison mu/sigma for every remaining
+        # iteration (the best-so-far guard below already rejects them,
+        # but the refit needs the same protection).
+        scores = jnp.where(jnp.isfinite(results.score), results.score,
+                           jnp.inf)
 
         # Elite refit (momentum-smoothed, floored sigma for exploration).
         _, elite_idx = jax.lax.top_k(-scores, n_elite)
@@ -95,8 +100,13 @@ def _cem_impl(cfg: Config, state: TrainState, scene: Scene,
     taus = _decode(cfg, state, condition, z)
     results = score_rollouts(cfg, scene, taus, weights)
 
-    best = jnp.argmin(results.score)
-    diverse_idx = _diverse_top_m(taus.reshape(n, -1), results.score,
+    # Same NaN guard for the final selection: argmin over NaN picks the
+    # NaN. Slot 0 (the tracked best) is finite whenever any iteration
+    # produced a finite score, so the sanitized argmin stays valid.
+    final_scores = jnp.where(jnp.isfinite(results.score), results.score,
+                             jnp.inf)
+    best = jnp.argmin(final_scores)
+    diverse_idx = _diverse_top_m(taus.reshape(n, -1), final_scores,
                                  n_diverse)
     plan = PlanResult(
         best_traj=taus[best],

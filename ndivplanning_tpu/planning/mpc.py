@@ -123,3 +123,105 @@ def mpc_rollout(cfg: Config, gen_state: TrainState, scene: Scene,
         collided=env_state.collided,
         n_replans=n_replans,
     )
+
+
+def _episode_fused(cfg: Config, gen_state: TrainState, scene: Scene,
+                   condition: jnp.ndarray, key: jax.Array,
+                   total_steps: int, replan_every: int, n_candidates: int,
+                   weights: ScoreWeights) -> MPCResult:
+    """One closed-loop episode as a single traced program: ``lax.scan``
+    over replanning cycles, each cycle = replan (generate + score from
+    the live state) + execute the next ``replan_every`` waypoints.
+
+    Where :func:`mpc_rollout` pays 2 dispatches per cycle (right for
+    interactive use, where the episode may stop early on the host), this
+    is ONE dispatch per episode and — crucially — vmappable, which is
+    what makes closed-loop success measurable at eval-suite scale
+    (:func:`mpc_rollout_batch`)."""
+    if total_steps % replan_every:
+        raise ValueError(
+            f"fused MPC needs total_steps % replan_every == 0 for a "
+            f"uniform cycle scan, got {total_steps} % {replan_every}")
+    api = get_env(cfg.env)
+    params = api.make_params()
+    n_cycles = total_steps // replan_every
+
+    def cycle(carry, t0):
+        env_state, key = carry
+        key, k_plan = jax.random.split(key)
+        taus = generate_candidates(cfg, gen_state, condition, k_plan,
+                                   n_candidates)
+        h = taus.shape[1]
+        # Remaining-tail alignment, same traced-offset trick as _replan.
+        idx = jnp.minimum(jnp.arange(h) + jnp.minimum(t0, h - 1), h - 1)
+        taus = taus[:, idx, :]
+        results = score_rollouts(cfg, scene, taus, weights,
+                                 state0=env_state)
+        tau = taus[jnp.argmin(results.score)]
+
+        def exec_body(state, wp):
+            if cfg.rollout_mode == "waypoints":
+                a = api.waypoint_control(params, state, wp)
+            else:
+                a = wp
+            new_state, _ = api.step(params, scene, state, a)
+            return new_state, new_state.pos
+
+        wp_idx = jnp.minimum(jnp.arange(replan_every), tau.shape[0] - 1)
+        env_state, pos = jax.lax.scan(exec_body, env_state, tau[wp_idx])
+        return (env_state, key), pos
+
+    t0s = jnp.arange(n_cycles, dtype=jnp.int32) * replan_every
+    (env_state, _), positions = jax.lax.scan(
+        cycle, (api.reset(params, scene), key), t0s)
+    return MPCResult(
+        positions=positions.reshape(total_steps, -1),
+        final_state=env_state,
+        reached=env_state.done,
+        collided=env_state.collided,
+        n_replans=n_cycles,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "total_steps", "replan_every", "n_candidates", "weights"))
+def mpc_rollout_fused(cfg: Config, gen_state: TrainState, scene: Scene,
+                      condition: jnp.ndarray, key: jax.Array,
+                      total_steps: int = 64, replan_every: int = 8,
+                      n_candidates: int = 256,
+                      weights: ScoreWeights = ScoreWeights()) -> MPCResult:
+    """Single-dispatch closed-loop episode (one jitted program).
+
+    Same semantics as :func:`mpc_rollout` up to PRNG stream layout (the
+    fused scan splits keys inside the program, so the two paths draw
+    different candidate sets; both are self-deterministic)."""
+    return _episode_fused(cfg, gen_state, scene, condition, key,
+                          total_steps, replan_every, n_candidates, weights)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "total_steps", "replan_every", "n_candidates", "weights"))
+def mpc_rollout_batch(cfg: Config, gen_state: TrainState, scenes: Scene,
+                      conditions: jnp.ndarray, keys: jax.Array,
+                      total_steps: int = 64, replan_every: int = 8,
+                      n_candidates: int = 256,
+                      weights: ScoreWeights = ScoreWeights()) -> MPCResult:
+    """Batched closed-loop MPC: ``vmap`` episodes over scenes, one
+    compiled program, one dispatch — suite-scale closed-loop eval and the
+    server's ``"mpc": true`` request path.
+
+    Args:
+      scenes: Scene pytree with leading ``[B]`` axis.
+      conditions: ``[B, ...]`` raw conditions; keys: ``[B]`` PRNG keys.
+
+    Returns an :class:`MPCResult` with a leading ``[B]`` axis on every
+    array field.
+    """
+    res = jax.vmap(
+        lambda sc, co, k: _episode_fused(cfg, gen_state, sc, co, k,
+                                         total_steps, replan_every,
+                                         n_candidates, weights)
+    )(scenes, conditions, keys)
+    # n_replans is static (same for every episode); vmap would otherwise
+    # hand the caller a [B] array of identical values.
+    return res._replace(n_replans=total_steps // replan_every)

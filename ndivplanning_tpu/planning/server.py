@@ -6,10 +6,13 @@ generator -> 1k vmapped rollouts -> best/diverse selection) and answers
 scene requests on stdin/stdout, one JSON object per line.
 
 Request:  {"start": [x, y], "goal": [x, y],
-           "obstacles": [[cx, cy, r], ...]}        (obstacles optional)
+           "obstacles": [[cx, cy, r], ...],        (obstacles optional)
+           "mpc": true}                             (optional: closed loop)
 Response: {"best_traj": [[x, y] * horizon], "best_score": s,
            "best_reached": 0|1, "diverse_trajs": [...],
            "latency_ms": t, "batch_size": n}
+MPC resp: {"path": [[x, y] * 64], "reached": 0|1, "collided": 0|1,
+           "n_replans": 8, "latency_ms": t, "batch_size": n}
 
 Batched serving
 ---------------
@@ -55,6 +58,15 @@ from ndivplanning_tpu.utils.config import Config
 
 BUCKETS = (1, 2, 4, 8, 16)
 
+# Closed-loop serving parameters are FIXED (not per-request): each
+# distinct (total_steps, replan_every, n_candidates) combination is a
+# separate compiled program at 90-300 s per remote compile, so honoring
+# per-request overrides would be a latency landmine.  Clients needing
+# other settings run `plan --mpc` with flags.
+MPC_TOTAL_STEPS = 64
+MPC_REPLAN_EVERY = 8
+MPC_CANDIDATES = 256
+
 
 def _condition_for(cfg: Config, scene: Scene) -> jnp.ndarray:
     if cfg.conditioning == "image":
@@ -95,13 +107,24 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
     responses: list[dict | None] = [None] * len(requests)
     scenes: list[Scene] = []
     idx: list[int] = []
+    mpc_scenes: list[Scene] = []
+    mpc_idx: list[int] = []
     for i, req in enumerate(requests):
         try:
-            scenes.append(Scene.create(req["start"], req["goal"],
-                                       req.get("obstacles")))
-            idx.append(i)
+            scene = Scene.create(req["start"], req["goal"],
+                                 req.get("obstacles"))
+            if req.get("mpc"):
+                mpc_scenes.append(scene)
+                mpc_idx.append(i)
+            else:
+                scenes.append(scene)
+                idx.append(i)
         except Exception as e:  # noqa: BLE001 — isolated per request
             responses[i] = {"error": f"{type(e).__name__}: {e}"}
+
+    if mpc_scenes:
+        key, sub = jax.random.split(key)
+        _handle_mpc(cfg, state, mpc_scenes, mpc_idx, responses, sub)
 
     pos = 0
     max_bucket = BUCKETS[-1]
@@ -155,6 +178,49 @@ def handle_request(cfg: Config, state: TrainState, request: dict,
                    key: jax.Array, n_diverse: int = 4) -> dict:
     """Plan for one scene request (bucket-1 batch dispatch)."""
     return handle_batch(cfg, state, [request], key, n_diverse=n_diverse)[0]
+
+
+def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
+                idx: list[int], responses: list, key: jax.Array) -> None:
+    """Closed-loop (``"mpc": true``) requests: bucketed
+    ``mpc_rollout_batch`` dispatches, responses filled in place.
+
+    Response: {"path": [[x, y] * MPC_TOTAL_STEPS], "reached": 0|1,
+    "collided": 0|1, "n_replans": n, "latency_ms": t, "batch_size": b}.
+    """
+    from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
+
+    pos = 0
+    max_bucket = BUCKETS[-1]
+    while pos < len(scenes):
+        chunk = scenes[pos:pos + max_bucket]
+        chunk_idx = idx[pos:pos + max_bucket]
+        pos += len(chunk)
+        bucket = _bucket_for(len(chunk))
+        padded = chunk + [chunk[0]] * (bucket - len(chunk))
+
+        t0 = time.perf_counter()
+        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+        cond_b = _conditions_for_batch(cfg, scene_b)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, bucket)
+        result = mpc_rollout_batch(cfg, state, scene_b, cond_b, keys,
+                                   total_steps=MPC_TOTAL_STEPS,
+                                   replan_every=MPC_REPLAN_EVERY,
+                                   n_candidates=MPC_CANDIDATES)
+        path, reached, collided = jax.device_get(
+            (result.positions, result.reached, result.collided))
+        latency_ms = round((time.perf_counter() - t0) * 1e3, 2)
+
+        for j, i in enumerate(chunk_idx):
+            responses[i] = {
+                "path": np.asarray(path[j]).tolist(),
+                "reached": float(reached[j]),
+                "collided": float(collided[j]),
+                "n_replans": int(result.n_replans),
+                "latency_ms": latency_ms,
+                "batch_size": bucket,
+            }
 
 
 class _LineSource:
@@ -240,7 +306,8 @@ class _LineSource:
 
 
 def warmup(cfg: Config, state: TrainState, n_diverse: int = 4,
-           refine: str = "none", buckets=BUCKETS) -> float:
+           refine: str = "none", buckets=BUCKETS,
+           mpc: bool = False) -> float:
     """Pre-compile every bucket's serving programs; returns elapsed
     seconds.
 
@@ -258,6 +325,10 @@ def warmup(cfg: Config, state: TrainState, n_diverse: int = 4,
     for b in buckets:
         handle_batch(cfg, state, [dict(dummy) for _ in range(b)], key,
                      n_diverse=n_diverse, refine=refine)
+        if mpc:
+            handle_batch(cfg, state,
+                         [dict(dummy, mpc=True) for _ in range(b)], key,
+                         n_diverse=n_diverse, refine=refine)
     return time.perf_counter() - t0
 
 

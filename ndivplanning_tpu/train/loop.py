@@ -71,11 +71,22 @@ def _check_dataset_marker(workdir: str, dataset, cfg: Config) -> None:
     with open(path, encoding="utf-8") as f:
         marker = json.load(f)
     want = _dataset_fingerprint(dataset, cfg)
-    if marker != want:
+    # Compare only the keys the stored marker HAS: markers written before
+    # a fingerprint field existed (e.g. content_blake2b) must stay
+    # resumable against the identical dataset — strict dict equality
+    # would reject every pre-change workdir (ADVICE round 2).
+    mismatch = {k: (marker[k], want.get(k))
+                for k in marker if marker[k] != want.get(k)}
+    if mismatch:
         raise ValueError(
             f"workdir {workdir!r} was trained on a different dataset "
-            f"run ({marker} != {want}); resuming would misalign the "
-            "deterministic batch order. Use a fresh --workdir.")
+            f"run (mismatched fields: {mismatch}); resuming would "
+            "misalign the deterministic batch order. Use a fresh "
+            "--workdir.")
+    if set(want) - set(marker):
+        # Legacy marker verified compatible on its own keys: backfill
+        # the new fields so future resumes check the full fingerprint.
+        _write_dataset_marker(workdir, dataset, cfg)
 
 
 # Metrics where smaller is better; everything else is maximised by the
@@ -182,7 +193,11 @@ def _track_best(cfg: Config, workdir, step: int, candidates,
             and _improved(cfg.track_best_metric, winner[1], best_metric)):
         best_metric = winner[1]
         best_dir = os.path.join(workdir, "best")
-        ckpt.save_checkpoint(best_dir, winner[2])
+        # overwrite=True: a resumed run can re-reach a step that already
+        # has a best checkpoint (best saved after the last periodic
+        # checkpoint, then crash); without it orbax skips the save while
+        # best_path.json is rewritten — marker/weights inconsistency.
+        ckpt.save_checkpoint(best_dir, winner[2], overwrite=True)
         _write_best_marker(best_dir, winner[0], cfg.track_best_metric,
                            winner[1], step)
     return best_metric

@@ -52,17 +52,22 @@ def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray,
     x = traj.reshape(b, k, -1)
     if cfg.ndiv_impl == "jnp":
         return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
-    multi_device = cfg.dp_shards * cfg.div_shards > 1
-    if multi_device:
-        if mesh is not None and (
-            cfg.ndiv_impl == "pallas" or jax.default_backend() == "tpu"
-        ):
-            from ndivplanning_tpu.parallel.sharded_step import (
-                ndiv_loss_sharded,
-            )
+    if mesh is not None and (
+        cfg.ndiv_impl == "pallas" or jax.default_backend() == "tpu"
+    ):
+        # The mesh handle is authoritative, INCLUDING a 1x1 mesh: the
+        # production multi-chip program (all_gather + kernel + psum
+        # inside shard_map) then has identical structure on one chip and
+        # on N — which is what lets a single real TPU chip compile-prove
+        # the deployment path (benchmarks/sharded_tpu_bench.py; the
+        # collectives over size-1 axes fold away in XLA).
+        from ndivplanning_tpu.parallel.sharded_step import (
+            ndiv_loss_sharded,
+        )
 
-            return ndiv_loss_sharded(z, x, cfg.ndiv_alpha, mesh,
-                                     impl="pallas")
+        return ndiv_loss_sharded(z, x, cfg.ndiv_alpha, mesh,
+                                 impl="pallas")
+    if cfg.dp_shards * cfg.div_shards > 1:
         return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
     from ndivplanning_tpu.ops import ndiv_pallas
 

@@ -20,10 +20,20 @@ def _manager(workdir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     )
 
 
-def save_checkpoint(workdir: str, state, step: int | None = None) -> None:
-    """Atomic save of the train-state pytree at ``step``."""
+def save_checkpoint(workdir: str, state, step: int | None = None,
+                    overwrite: bool = False) -> None:
+    """Atomic save of the train-state pytree at ``step``.
+
+    ``overwrite=True`` deletes an existing checkpoint at the same step
+    first: orbax otherwise SILENTLY skips the save, which would leave a
+    freshly-written side marker (best_path.json) pointing at stale
+    weights when a resumed run re-reaches a step already present in
+    <workdir>/best (ADVICE round 2).
+    """
     mgr = _manager(workdir)
     step = int(state.step) if step is None else int(step)
+    if overwrite and step in mgr.all_steps():
+        mgr.delete(step)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()

@@ -69,3 +69,27 @@ def test_viz_command(tmp_path, capsys):
 def test_bad_preset_raises():
     with pytest.raises(ValueError):
         main(["train", "--preset", "bogus"])
+
+
+def test_plan_mpc_batched_episodes(tmp_path, capsys):
+    rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
+               "--k", "4", "--workdir", str(tmp_path), "--mpc",
+               "--mpc-episodes", "2", "--mpc-steps", "8",
+               "--mpc-replan", "4", "--mpc-candidates", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["episodes"] == 2
+    assert out["n_replans"] == 2
+    assert 0.0 <= out["success_rate"] <= 1.0
+    assert 0.0 <= out["collision_rate"] <= 1.0
+    assert out["episodes_per_sec"] > 0
+
+
+def test_plan_mpc_single_episode_reports_final_pos(tmp_path, capsys):
+    rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
+               "--k", "4", "--workdir", str(tmp_path), "--mpc",
+               "--mpc-steps", "8", "--mpc-replan", "8",
+               "--mpc-candidates", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["final_pos"]) == 2

@@ -212,3 +212,47 @@ def test_warmup_precompiles_all_buckets():
         stop()
     assert served == 2
     assert rec.count == 0, f"post-warmup compiles: {rec.names}"
+
+
+def test_mpc_request_path(monkeypatch):
+    """'mpc': true requests get closed-loop responses; plan and MPC
+    requests mix freely in one batch with per-position responses."""
+    from ndivplanning_tpu.planning import server as srv
+
+    monkeypatch.setattr(srv, "MPC_TOTAL_STEPS", 8)
+    monkeypatch.setattr(srv, "MPC_REPLAN_EVERY", 4)
+    monkeypatch.setattr(srv, "MPC_CANDIDATES", 8)
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    reqs = [
+        {"start": [0.1, 0.1], "goal": [0.9, 0.9]},
+        {"start": [0.2, 0.1], "goal": [0.9, 0.8], "mpc": True},
+        {"start": "bad", "goal": [0.9, 0.8], "mpc": True},
+    ]
+    from ndivplanning_tpu.planning.server import handle_batch
+
+    resps = handle_batch(cfg, state, reqs, jax.random.PRNGKey(0))
+    assert "best_traj" in resps[0]
+    assert len(resps[1]["path"]) == 8
+    assert resps[1]["n_replans"] == 2
+    assert resps[1]["reached"] in (0.0, 1.0)
+    assert "error" in resps[2]  # malformed MPC request isolated
+
+
+def test_warmup_covers_mpc_buckets(monkeypatch):
+    from ndivplanning_tpu.planning import server as srv
+    from ndivplanning_tpu.planning.server import handle_batch, warmup
+    from ndivplanning_tpu.utils.compile_guard import count_compiles
+
+    monkeypatch.setattr(srv, "MPC_TOTAL_STEPS", 8)
+    monkeypatch.setattr(srv, "MPC_REPLAN_EVERY", 4)
+    monkeypatch.setattr(srv, "MPC_CANDIDATES", 8)
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    warmup(cfg, state, buckets=(1, 2), mpc=True)
+    with count_compiles() as rec:
+        handle_batch(cfg, state,
+                     [{"start": [0.3, 0.1], "goal": [0.8, 0.9],
+                       "mpc": True}],
+                     jax.random.PRNGKey(1))
+    assert rec.count == 0, f"unexpected recompiles: {rec.names}"
