@@ -68,6 +68,17 @@ def main() -> None:
           f"reached {np.asarray(best_reached).tolist()}")
     assert best_traj.shape[0] == b
 
+    # ---- CEM refinement artifact: the measured-best planning mode ---
+    cem = jexport.deserialize(
+        open(os.path.join(out, "cem_planner.stablehlo"), "rb").read()).call
+    c_traj, c_score, c_reached, c_diverse, curve = cem(
+        conditions, start, goal, obstacles, mask, seeds)
+    curve = np.asarray(curve)
+    print(f"CEM-refined: scores {np.round(np.asarray(c_score), 3).tolist()}"
+          f", refinement curves (monotone) "
+          f"{np.round(curve, 3).tolist()}")
+    assert np.all(curve[:, 1:] <= curve[:, :-1] + 1e-6)
+
 
 if __name__ == "__main__":
     main()

@@ -16,6 +16,10 @@ Artifact layout (``export_bundle``):
                                      seeds[b] i32)
                                     -> (best_traj[b,H,S], best_score[b],
                                         best_reached[b], diverse_trajs[b,m,H,S])
+    <out_dir>/cem_planner.stablehlo same signature -> same outputs plus
+                                    best_curve[b, cem_iters] (the CEM
+                                    latent-refinement planner, the
+                                    measured-best planning mode)
     <out_dir>/manifest.json         config + entry signatures
 
 The planner artifact contains the WHOLE sim-in-the-loop pipeline —
@@ -36,6 +40,7 @@ from ndivplanning_tpu.utils.config import Config
 
 GENERATOR_FILE = "generator.stablehlo"
 PLANNER_FILE = "planner.stablehlo"
+CEM_PLANNER_FILE = "cem_planner.stablehlo"
 MANIFEST_FILE = "manifest.json"
 
 _PLATFORMS = ("cpu", "tpu")
@@ -112,6 +117,59 @@ def export_planner(cfg: Config, state, n_candidates: int | None = None,
     return exp.serialize()
 
 
+def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
+                       n_iters: int | None = None,
+                       n_diverse: int = 8) -> bytes:
+    """Serialize the CEM latent-refinement planner (planning/cem.py) —
+    the measured-best planning mode (goal-reach 0.938 vs 0.906 one-shot,
+    BASELINE.md round 2) — as one StableHLO program.
+
+    The refinement is a ``lax.scan`` over elite-refit iterations on top
+    of the vmapped rollout scorer, so it exports exactly like the
+    one-shot planner; same raw-array scene signature plus a
+    ``best_curve[b, iters]`` output (the per-iteration best-so-far score,
+    monotone non-increasing — deployments can assert refinement health).
+    Budget-split defaults match ``plan_cem``: population =
+    n_candidates / (iters + 1), elite = 10% (>= 2).
+    """
+    from ndivplanning_tpu.envs.rollout import ScoreWeights
+    from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
+    from ndivplanning_tpu.planning.cem import _cem_impl
+
+    total = cfg.n_candidates if n_candidates is None else n_candidates
+    iters = cfg.cem_iters if n_iters is None else n_iters
+    n = max(total // (iters + 1), 2)
+    elite = max(n // 10, 2)
+    state = jax.device_get(state)
+    weights = ScoreWeights()
+
+    def plan_arrays(conditions, start, goal, obstacles, obstacle_mask,
+                    seeds):
+        def one(cond, s, g, obs, mask, seed):
+            scene = Scene(start=s, goal=g, obstacles=obs,
+                          obstacle_mask=mask)
+            key = jax.random.PRNGKey(seed)
+            r, curve = _cem_impl(cfg, state, scene, cond, key, n, elite,
+                                 iters, 0.25, 0.05, n_diverse, weights)
+            return (r.best_traj, r.best_score, r.best_reached,
+                    r.diverse_trajs, curve)
+
+        return jax.vmap(one)(conditions, start, goal, obstacles,
+                             obstacle_mask, seeds)
+
+    (b,) = jax.export.symbolic_shape("b")
+    f32 = jnp.float32
+    exp = jax.export.export(jax.jit(plan_arrays), platforms=_PLATFORMS)(
+        _condition_struct(cfg, b),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES, 3), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    return exp.serialize()
+
+
 def export_bundle(cfg: Config, state, out_dir: str,
                   n_candidates: int | None = None,
                   n_diverse: int = 8) -> dict:
@@ -123,10 +181,14 @@ def export_bundle(cfg: Config, state, out_dir: str,
     gen_blob = export_generator(cfg, state)
     plan_blob = export_planner(cfg, state, n_candidates=n_candidates,
                                n_diverse=n_diverse)
+    cem_blob = export_cem_planner(cfg, state, n_candidates=n_candidates,
+                                  n_diverse=n_diverse)
     with open(os.path.join(out_dir, GENERATOR_FILE), "wb") as f:
         f.write(gen_blob)
     with open(os.path.join(out_dir, PLANNER_FILE), "wb") as f:
         f.write(plan_blob)
+    with open(os.path.join(out_dir, CEM_PLANNER_FILE), "wb") as f:
+        f.write(cem_blob)
     manifest = {
         "config": dataclasses.asdict(cfg),
         "step": int(jax.device_get(state.step)),
@@ -145,6 +207,17 @@ def export_bundle(cfg: Config, state, out_dir: str,
             "signature": "(conditions, start, goal, obstacles, "
                          "obstacle_mask, seeds) -> (best_traj, best_score,"
                          " best_reached, diverse_trajs)",
+        },
+        "cem_planner": {
+            "file": CEM_PLANNER_FILE,
+            "bytes": len(cem_blob),
+            "n_candidates": (cfg.n_candidates if n_candidates is None
+                             else n_candidates),
+            "cem_iters": cfg.cem_iters,
+            "n_diverse": n_diverse,
+            "signature": "(conditions, start, goal, obstacles, "
+                         "obstacle_mask, seeds) -> (best_traj, best_score,"
+                         " best_reached, diverse_trajs, best_curve)",
         },
     }
     with open(os.path.join(out_dir, MANIFEST_FILE), "w",

@@ -95,3 +95,47 @@ def test_export_cli(tmp_path):
                "--out", str(out_dir)])
     assert rc == 0
     assert (out_dir / MANIFEST_FILE).exists()
+
+
+def test_cem_export_matches_live_plan_cem(tmp_path):
+    """cem_planner.stablehlo == live plan_cem across batch sizes (the
+    measured-best planning mode must be deployable — round-2 verdict
+    gap #4)."""
+    from ndivplanning_tpu.planning.cem import plan_cem
+    from ndivplanning_tpu.utils.export import CEM_PLANNER_FILE
+
+    cfg = _small(cem_iters=3)
+    state = create_train_state(cfg)
+    export_bundle(cfg, state, str(tmp_path), n_diverse=4)
+    p = load_exported(str(tmp_path / CEM_PLANNER_FILE))
+
+    for batch, seed0 in [(2, 7), (1, 21)]:  # symbolic batch dim
+        scenes = [random_scene(jax.random.PRNGKey(seed0 + i))
+                  for i in range(batch)]
+        conds = jnp.stack([_condition_for(cfg, s) for s in scenes])
+        start = jnp.stack([s.start for s in scenes])
+        goal = jnp.stack([s.goal for s in scenes])
+        obs = jnp.stack([s.obstacles for s in scenes])
+        mask = jnp.stack([s.obstacle_mask for s in scenes])
+        seeds = jnp.arange(seed0, seed0 + batch, dtype=jnp.int32)
+
+        best_traj, best_score, best_reached, diverse, curve = p(
+            conds, start, goal, obs, mask, seeds)
+        assert best_traj.shape == (batch, cfg.horizon, cfg.state_dim)
+        assert curve.shape == (batch, 3)
+        # Refinement-health contract: monotone non-increasing curve.
+        c = np.asarray(curve)
+        assert np.all(c[:, 1:] <= c[:, :-1] + 1e-6)
+
+        for i, scene in enumerate(scenes):
+            want, want_curve = plan_cem(
+                cfg, state, scene, conds[i],
+                jax.random.PRNGKey(int(seeds[i])), n_diverse=4,
+                weights=ScoreWeights())
+            np.testing.assert_allclose(np.asarray(want.best_traj),
+                                       np.asarray(best_traj[i]),
+                                       atol=1e-6)
+            np.testing.assert_allclose(float(want.best_score),
+                                       float(best_score[i]), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(want_curve),
+                                       np.asarray(curve[i]), atol=1e-6)
