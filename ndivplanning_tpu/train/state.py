@@ -72,7 +72,8 @@ class ConditionedDiscriminator(nn.Module):
             mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim,
             encoder_features=self.cfg.encoder_features, dtype=dtype,
         )(conditions)
-        return Discriminator(hidden=self.cfg.d_hidden, dtype=dtype)(
+        return Discriminator(hidden=self.cfg.d_hidden, dtype=dtype,
+                             spectral_norm=self.cfg.d_spectral_norm)(
             cond_embed, traj, return_features=return_features)
 
 

@@ -76,6 +76,72 @@ def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray,
     return ndiv_loss_reference(z, x, cfg.ndiv_alpha)
 
 
+def _shift_images(images: jnp.ndarray, px: jnp.ndarray,
+                  max_px: int) -> jnp.ndarray:
+    """Per-sample zero-padded pixel shift of ``[B, S, S, C]`` images.
+    ``px [B, 2]`` int32 (dx, dy) pixel offsets, |px| <= max_px."""
+    s = images.shape[1]
+    padded = jnp.pad(images, ((0, 0), (max_px, max_px),
+                              (max_px, max_px), (0, 0)))
+
+    def one(img, d):
+        # Image row 0 is y=0 and [iy, ix] maps to world x=(ix+.5)/S
+        # (data/scenes.py rasterize_scene), so +dx shifts content right:
+        # I'(iy, ix) = I(iy - dy, ix - dx).
+        return jax.lax.dynamic_slice(
+            img, (max_px - d[1], max_px - d[0], 0),
+            (s, s, images.shape[-1]))
+
+    return jax.vmap(one)(padded, px)
+
+
+def _cutout_images(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+    """Zero one random (S/2)^2 square per image (DiffAugment cutout)."""
+    b, s = images.shape[0], images.shape[1]
+    c = s // 2
+    pos = jax.random.randint(key, (b, 2), 0, s - c + 1)
+    grid = jnp.arange(s)
+
+    def one(img, p):
+        in_x = (grid >= p[0]) & (grid < p[0] + c)
+        in_y = (grid >= p[1]) & (grid < p[1] + c)
+        hole = in_y[:, None] & in_x[None, :]
+        return img * (1.0 - hole[..., None].astype(img.dtype))
+
+    return jax.vmap(one)(images, pos)
+
+
+def _diffaug(cfg: Config, key: jax.Array, conditions: jnp.ndarray,
+             traj: jnp.ndarray):
+    """DiffAugment (config.py ``diffaug``): augment one (condition,
+    trajectory) pair-batch D is about to see.  ``traj`` is ``[B, H, S]``
+    or ``[B, k, H, S]``; per-sample draws are per CONDITION (all k fakes
+    of one condition share its offset, keeping the pair consistent).
+    Differentiable: gradients flow through ``traj + delta`` to G.
+    """
+    kinds = frozenset(cfg.diffaug.split(","))
+    b = traj.shape[0]
+    if "shift" in kinds:
+        key, k_s = jax.random.split(key)
+        delta = jax.random.uniform(
+            k_s, (b, 2), minval=-cfg.diffaug_shift,
+            maxval=cfg.diffaug_shift)
+        lead = (b,) + (1,) * (traj.ndim - 2)
+        traj = traj + delta.reshape(*lead, 2)
+        if cfg.conditioning == "image":
+            size = conditions.shape[1]
+            max_px = max(int(cfg.diffaug_shift * size) + 1, 1)
+            px = jnp.clip(jnp.round(delta * size).astype(jnp.int32),
+                          -max_px, max_px)
+            conditions = _shift_images(conditions, px, max_px)
+        elif cfg.conditioning == "startgoal":
+            conditions = conditions + jnp.tile(delta, (1, 2))
+    if "cutout" in kinds and cfg.conditioning == "image":
+        key, k_c = jax.random.split(key)
+        conditions = _cutout_images(k_c, conditions)
+    return conditions, traj
+
+
 def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
                     z_sharding=None, mesh=None):
     """One G+D+NDiv update.  Pure; jit/shard_map-able.
@@ -127,12 +193,24 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         real_for_d, fake_for_d = batch.real_traj, tau_fake_sg
         noise_g = lambda tau: tau
 
+    # DiffAugment: independent per-pass draws (the paper's T), split only
+    # when enabled so default configs keep their exact RNG streams.
+    if cfg.diffaug:
+        rng, k_ar, k_af, k_ag = jax.random.split(rng, 4)
+        cond_real_d, real_for_d = _diffaug(cfg, k_ar, batch.conditions,
+                                           real_for_d)
+        cond_fake_d, fake_for_d = _diffaug(cfg, k_af, batch.conditions,
+                                           fake_for_d)
+    else:
+        cond_real_d = cond_fake_d = batch.conditions
+        k_ag = None
+
     # ---------------- D update ----------------
     r1_w = cfg.r1_weight
 
     def d_loss(d_params):
-        real_logits = disc.apply(d_params, batch.conditions, real_for_d)
-        fake_logits = disc.apply(d_params, batch.conditions, fake_for_d)
+        real_logits = disc.apply(d_params, cond_real_d, real_for_d)
+        fake_logits = disc.apply(d_params, cond_fake_d, fake_for_d)
         loss = d_loss_fn_of(real_logits, fake_logits)
         if r1_w > 0:
             # R1 penalty: squared grad norm of D's real-sample logits wrt
@@ -141,7 +219,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
             # in the same compiled program).
             def real_score(traj):
                 return jnp.sum(
-                    disc.apply(d_params, batch.conditions, traj))
+                    disc.apply(d_params, cond_real_d, traj))
 
             # Penalise at the (possibly noised) points D actually sees.
             g_traj = jax.grad(real_score)(real_for_d)  # [B, H, S]
@@ -166,11 +244,17 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         # Same instance-noise treatment in the G update: gradients flow
         # through the additive noise to tau unchanged.
         tau_d = noise_g(tau)
+        # DiffAugment in the G pass too — the crux of the method: G's
+        # gradients arrive THROUGH the augmented D view.
+        if cfg.diffaug:
+            cond_g, tau_d = _diffaug(cfg, k_ag, batch.conditions, tau_d)
+        else:
+            cond_g = batch.conditions
         if fm_w > 0:
             fake_logits, fake_feats = disc.apply(
-                d_params, batch.conditions, tau_d, return_features=True)
+                d_params, cond_g, tau_d, return_features=True)
             _, real_feats = disc.apply(
-                d_params, batch.conditions, real_for_d,
+                d_params, cond_real_d, real_for_d,
                 return_features=True)
             # Match first moments of D's last hidden features between
             # the real batch and the B*k fakes (Salimans et al. 2016).
@@ -179,9 +263,19 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
             real_mean = jnp.mean(real_feats, axis=0)
             fm = jnp.mean(jnp.square(real_mean - fake_mean))
         else:
-            fake_logits = disc.apply(d_params, batch.conditions, tau_d)
+            fake_logits = disc.apply(d_params, cond_g, tau_d)
             fm = jnp.asarray(0.0, jnp.float32)
-        adv = g_loss_fn_of(fake_logits)
+        if cfg.topk_g_fraction > 0:
+            # Top-k G update (Sinha et al. 2020): adversarial gradients
+            # only through the fakes D scores most real.  lax.top_k is a
+            # gather, so the discarded fakes get exactly zero adv
+            # gradient (they still receive NDiv gradients below).
+            flat = fake_logits.reshape(-1)
+            n_keep = max(int(round(cfg.topk_g_fraction * flat.shape[0])),
+                         1)
+            adv = g_loss_fn_of(jax.lax.top_k(flat, n_keep)[0])
+        else:
+            adv = g_loss_fn_of(fake_logits)
         ndiv = _ndiv(cfg, z, tau, mesh=mesh)
         return adv + cfg.ndiv_weight * ndiv + fm_w * fm, (adv, ndiv, fm)
 

@@ -74,6 +74,31 @@ class Config:
     # are untouched).
     instance_noise_sigma: float = 0.0
     instance_noise_anneal: int = 0
+    # DiffAugment-style differentiable augmentation (Zhao et al. 2020)
+    # on EVERY (condition, trajectory) pair D sees — real and fake, both
+    # updates, gradients flowing through to G.  Comma-list of:
+    #   "shift"  — per-sample world translation of the pair (trajectory
+    #              += delta; image conditions shifted by the matching
+    #              pixel offset with zero pad; start/goal conditions
+    #              += delta), delta ~ U(+-diffaug_shift).  The task is
+    #              translation-equivariant, so the pair stays consistent.
+    #   "cutout" — zero a random (image_size/2)^2 square of the image
+    #              condition (image conditioning only).
+    # "" disables (default: the RNG stream and program of existing
+    # configs are untouched).
+    diffaug: str = ""
+    diffaug_shift: float = 0.125
+    # Top-k generator update (Sinha et al. 2020): G's adversarial loss
+    # backprops only through the topk_g_fraction of its B*k fakes that D
+    # scores most real (the "easiest" fakes teach G nothing; the most
+    #-rejected ones dominate gradients and destabilise).  0 disables.
+    topk_g_fraction: float = 0.0
+    # Spectral normalisation of the discriminator's dense layers (Miyato
+    # et al. 2018): weight / sigma_max via stateless power iteration
+    # (models/mlp.py::SNDense) — Lipschitz-bounds D so it cannot sharpen
+    # into the late-soak D-overpowers-G collapse.  Changes D's param
+    # tree schema (fresh workdir needed).
+    d_spectral_norm: bool = False
 
     # Optimization
     g_lr: float = 1e-3

@@ -32,3 +32,100 @@ def test_high_lr_still_finite_short_run():
     state, metrics = train_chunk(cfg, state, 20)
     for name, v in metrics.items():
         assert np.all(np.isfinite(np.asarray(v))), name
+
+
+# ------------------------- round-3 stabilisers (default-off knobs) ----
+
+
+def _tiny(preset="imagecond", **kw):
+    defaults = dict(batch_size=4, k=4, g_hidden=(16,), d_hidden=(16,),
+                    cond_embed_dim=8, image_size=16, encoder_features=(4,),
+                    workdir="")
+    defaults.update(kw)
+    return get_config(preset, **defaults)
+
+
+def test_diffaug_trains_and_is_consistent():
+    """shift/cutout DiffAugment: the step runs, losses stay finite, and
+    the world-translation keeps the (condition, trajectory) pair
+    consistent (checked directly on _diffaug)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.train.step import _diffaug
+
+    cfg = _tiny(diffaug="shift,cutout")
+    state = create_train_state(cfg)
+    state, metrics = train_chunk(cfg, state, 3)
+    assert np.all(np.isfinite(np.asarray(metrics["g_total"])))
+
+    # Pair consistency: a trajectory pinned to the start marker stays on
+    # the (shifted) start marker.  Use startgoal conditioning where the
+    # condition is the raw [start, goal] vector.
+    cfg_sg = _tiny("goalcond", diffaug="shift")
+    conds = jnp.asarray([[0.3, 0.3, 0.8, 0.8]] * 4, jnp.float32)
+    traj = jnp.tile(conds[:, None, :2], (1, cfg_sg.horizon, 1))  # sit at start
+    c_aug, t_aug = _diffaug(cfg_sg, jax.random.PRNGKey(0), conds, traj)
+    np.testing.assert_allclose(np.asarray(t_aug[:, 0]),
+                               np.asarray(c_aug[:, :2]), atol=1e-6)
+    # Offsets are bounded by the config knob.
+    delta = np.asarray(c_aug - conds)
+    assert np.abs(delta).max() <= cfg_sg.diffaug_shift + 1e-6
+
+
+def test_diffaug_image_shift_moves_pixels():
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.train.step import _shift_images
+
+    img = jnp.zeros((1, 8, 8, 1)).at[0, 4, 4, 0].set(1.0)
+    out = _shift_images(img, jnp.asarray([[2, -1]], jnp.int32), max_px=3)
+    assert float(out[0, 3, 6, 0]) == 1.0  # +2 px in x, -1 px in y
+    assert float(np.asarray(out).sum()) == 1.0  # zero pad, no wraparound
+
+
+def test_spectral_norm_bounds_discriminator():
+    """With d_spectral_norm every D dense layer has unit top singular
+    value, so D's logit Lipschitz constant is bounded; training runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.models.mlp import SNDense
+
+    # Unit-sigma check on the layer itself.
+    layer = SNDense(8)
+    params = layer.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)))
+    w_raw = params["params"]["kernel"]
+    # Reconstruct the normalised kernel the forward uses.
+    y = layer.apply(params, jnp.eye(16))
+    w_sn = np.asarray(y - layer.apply(params, jnp.zeros((16, 16))))
+    sigma = np.linalg.svd(w_sn, compute_uv=False)[0]
+    np.testing.assert_allclose(sigma, 1.0, rtol=5e-2)  # power-iter approx
+    assert not np.allclose(np.asarray(w_raw), w_sn)
+
+    cfg = _tiny("goalcond", d_spectral_norm=True)
+    state = create_train_state(cfg)
+    state, metrics = train_chunk(cfg, state, 3)
+    assert np.all(np.isfinite(np.asarray(metrics["g_total"])))
+
+
+def test_topk_g_update_trains():
+    cfg = _tiny("goalcond", topk_g_fraction=0.5)
+    state = create_train_state(cfg)
+    state, metrics = train_chunk(cfg, state, 3)
+    assert np.all(np.isfinite(np.asarray(metrics["g_total"])))
+
+
+def test_stabilisers_off_keep_default_program_rng():
+    """The three knobs default OFF and must not perturb the default
+    config's RNG stream or losses (bitwise determinism contract)."""
+    cfg = _tiny("goalcond")
+    s1 = create_train_state(cfg)
+    _, m1 = train_chunk(cfg, s1, 3)
+    cfg2 = _tiny("goalcond", diffaug="", topk_g_fraction=0.0,
+                 d_spectral_norm=False)
+    s2 = create_train_state(cfg2)
+    _, m2 = train_chunk(cfg2, s2, 3)
+    np.testing.assert_array_equal(np.asarray(m1["g_total"]),
+                                  np.asarray(m2["g_total"]))
