@@ -2,14 +2,21 @@
 
 Measures, on the live backend, the planning server's request path
 (`handle_batch`: scene build -> bucketed plan_batch dispatch -> host
-transfer) for single requests and 16-scene bursts:
+transfer) for single requests and 16-scene bursts, plus a SUSTAINED-LOAD
+scenario through the real `serve()` loop over OS pipes:
 
-    python benchmarks/serving_bench.py [n_iters]
+    python benchmarks/serving_bench.py [n_iters] [sustained_qps ...]
 
-Prints one JSON line with p50/p95 latency and QPS per mode.  All
-timings end in the host transfer handle_batch already performs
-(np.asarray of every output), which is the honest sync point on the
-axon tunnel.
+Prints one JSON line with p50/p95 latency and QPS per mode.  The
+sustained rows report CLIENT-SIDE per-request latency — send time to
+response-line-received, including pipe queueing the server never sees —
+at each offered request rate (round-2 verdict weak #7: per-dispatch
+timing understates tail latency under load).  All single/burst timings
+end in the host transfer handle_batch already performs (np.asarray of
+every output), the honest sync point on the axon tunnel.
+
+Set SERVING_BENCH_CPU=1 to force the CPU backend (code validation while
+the dev chip is busy).
 """
 
 from __future__ import annotations
@@ -17,14 +24,22 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("SERVING_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+    import jax.extend.backend
+
+    jax.extend.backend.clear_backends()
+
 import numpy as np
 
-from ndivplanning_tpu.planning.server import handle_batch
+from ndivplanning_tpu.planning.server import handle_batch, serve, warmup
 from ndivplanning_tpu.train.state import create_train_state
 from ndivplanning_tpu.utils.config import get_config
 
@@ -61,15 +76,93 @@ def bench_mode(cfg, state, batch: int, n_iters: int) -> dict:
     }
 
 
+def bench_sustained(cfg, state, offered_qps: float, n_requests: int) -> dict:
+    """Client-side per-request latency through the REAL serve() loop.
+
+    One thread runs ``serve`` on OS pipes (the production `_LineSource`
+    raw-fd path, writer-thread overlap on); the main thread plays an
+    open-loop arrival process — one request every 1/offered_qps seconds,
+    NOT waiting for responses, so queueing delay is visible exactly as a
+    real client would see it — while a reader thread stamps each
+    response line's arrival.  Responses are answered in request order
+    (serve's one-response-per-line contract), so latency[i] =
+    recv[i] - send[i].
+    """
+    in_r, in_w = os.pipe()
+    out_r, out_w = os.pipe()
+    stdin = os.fdopen(in_r, "r")
+    stdout = os.fdopen(out_w, "w")
+
+    server = threading.Thread(
+        target=serve, args=(cfg, state), kwargs={"stdin": stdin,
+                                                 "stdout": stdout},
+        daemon=True)
+    server.start()
+
+    recv_t: list[float] = []
+    server_lat: list[float] = []
+
+    def reader() -> None:
+        with os.fdopen(out_r, "r") as resp_stream:
+            for line in resp_stream:
+                recv_t.append(time.perf_counter())
+                obj = json.loads(line)
+                if isinstance(obj, dict) and "latency_ms" in obj:
+                    server_lat.append(obj["latency_ms"])
+                if len(recv_t) >= n_requests:
+                    return
+
+    rd = threading.Thread(target=reader, daemon=True)
+    rd.start()
+
+    period = 1.0 / offered_qps
+    req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
+                      "obstacles": [[0.5, 0.5, 0.1]]}) + "\n"
+    send_t: list[float] = []
+    t_start = time.perf_counter()
+    with os.fdopen(in_w, "w") as client:
+        for i in range(n_requests):
+            target = t_start + i * period
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            send_t.append(time.perf_counter())
+            client.write(req)
+            client.flush()
+        rd.join(timeout=600)
+        client.write("quit\n")
+    server.join(timeout=60)
+    answered = len(recv_t)
+    lat_ms = (np.asarray(recv_t) - np.asarray(send_t[:answered])) * 1e3
+    elapsed = recv_t[-1] - send_t[0] if answered else float("nan")
+    return {
+        "offered_qps": offered_qps,
+        "n_requests": n_requests,
+        "answered": answered,
+        "achieved_qps": round(answered / elapsed, 1),
+        "client_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "client_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "client_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "server_p95_ms": round(float(np.percentile(server_lat, 95)), 2)
+        if server_lat else None,
+    }
+
+
 def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sustained = [float(q) for q in sys.argv[2:]] or [20.0, 45.0]
     cfg = get_config("planning")
     state = create_train_state(cfg)
+    # Pre-compile every serving bucket so sustained rows measure steady
+    # state, not the first-request compile.
+    warmup(cfg, state)
     result = {
         "backend": jax.default_backend(),
         "n_candidates": cfg.n_candidates,
         "single": bench_mode(cfg, state, 1, n_iters),
         "burst16": bench_mode(cfg, state, 16, n_iters),
+        "sustained": [bench_sustained(cfg, state, q, max(4 * n_iters, 50))
+                      for q in sustained],
     }
     print(json.dumps(result))
 

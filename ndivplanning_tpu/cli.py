@@ -197,6 +197,12 @@ def main(argv=None) -> int:
             p.add_argument("--mpc-candidates", type=int, default=256,
                            help="candidate trajectories per replan")
         if name == "serve":
+            p.add_argument("--no-overlap", action="store_true",
+                           help="disable the writer-thread pipeline that "
+                                "overlaps JSON encode/write of batch N "
+                                "with the dispatch of batch N+1; "
+                                "responses are then written synchronously "
+                                "in the request loop")
             p.add_argument("--warmup-mpc", action="store_true",
                            help="also pre-compile the closed-loop "
                                 "('mpc': true) bucket programs during "
@@ -407,7 +413,8 @@ def main(argv=None) -> int:
                           mpc=args.warmup_mpc)
             print(f"[serve] warmup: all request buckets compiled in "
                   f"{secs:.1f} s", file=sys.stderr, flush=True)
-        served = serve(cfg, state, refine=args.refine)
+        served = serve(cfg, state, refine=args.refine,
+                       overlap=not args.no_overlap)
         print(json.dumps({"served": served}))
         return 0
 

