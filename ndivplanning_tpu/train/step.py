@@ -79,20 +79,33 @@ def _ndiv(cfg: Config, z: jnp.ndarray, traj: jnp.ndarray,
 def _shift_images(images: jnp.ndarray, px: jnp.ndarray,
                   max_px: int) -> jnp.ndarray:
     """Per-sample zero-padded pixel shift of ``[B, S, S, C]`` images.
-    ``px [B, 2]`` int32 (dx, dy) pixel offsets, |px| <= max_px."""
+    ``px [B, 2]`` int32 (dx, dy) pixel offsets, |px| <= max_px
+    (``max_px`` kept for signature stability; the gather form doesn't
+    need the bound).
+
+    Formulated as two ``take_along_axis`` gathers with a validity mask —
+    NOT pad + vmapped ``dynamic_slice``: that formulation, scanned 5000
+    iterations inside the fused imagecond train chunk, reliably crashed
+    the TPU worker with a kernel fault (libtpu bug — 1000-iteration
+    chunks of the identical step body ran fine, as did cutout-only;
+    bisection in BASELINE.md round 3).  The two formulations are
+    bitwise-identical in values and gradients.
+    """
     s = images.shape[1]
-    padded = jnp.pad(images, ((0, 0), (max_px, max_px),
-                              (max_px, max_px), (0, 0)))
-
-    def one(img, d):
-        # Image row 0 is y=0 and [iy, ix] maps to world x=(ix+.5)/S
-        # (data/scenes.py rasterize_scene), so +dx shifts content right:
-        # I'(iy, ix) = I(iy - dy, ix - dx).
-        return jax.lax.dynamic_slice(
-            img, (max_px - d[1], max_px - d[0], 0),
-            (s, s, images.shape[-1]))
-
-    return jax.vmap(one)(padded, px)
+    grid = jnp.arange(s)
+    # Image row 0 is y=0 and [iy, ix] maps to world x=(ix+.5)/S
+    # (data/scenes.py rasterize_scene), so +dx shifts content right:
+    # I'(iy, ix) = I(iy - dy, ix - dx).
+    src_y = grid[None, :] - px[:, 1][:, None]  # [B, S]
+    src_x = grid[None, :] - px[:, 0][:, None]
+    valid = (src_y >= 0) & (src_y < s)
+    valid_x = (src_x >= 0) & (src_x < s)
+    cy = jnp.clip(src_y, 0, s - 1)
+    cx = jnp.clip(src_x, 0, s - 1)
+    rows = jnp.take_along_axis(images, cy[:, :, None, None], axis=1)
+    out = jnp.take_along_axis(rows, cx[:, None, :, None], axis=2)
+    mask = (valid[:, :, None] & valid_x[:, None, :])[..., None]
+    return jnp.where(mask, out, jnp.zeros((), images.dtype))
 
 
 def _cutout_images(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
