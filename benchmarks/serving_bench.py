@@ -133,8 +133,11 @@ def bench_sustained(cfg, state, offered_qps: float, n_requests: int) -> dict:
         client.write("quit\n")
     server.join(timeout=60)
     answered = len(recv_t)
+    if answered == 0:  # server died before answering anything
+        return {"offered_qps": offered_qps, "n_requests": n_requests,
+                "answered": 0}
     lat_ms = (np.asarray(recv_t) - np.asarray(send_t[:answered])) * 1e3
-    elapsed = recv_t[-1] - send_t[0] if answered else float("nan")
+    elapsed = recv_t[-1] - send_t[0]
     return {
         "offered_qps": offered_qps,
         "n_requests": n_requests,

@@ -408,7 +408,7 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.planning.server import serve, warmup
 
         state = _load_state(cfg)
-        if args.warmup:
+        if args.warmup or args.warmup_mpc:  # --warmup-mpc implies --warmup
             secs = warmup(cfg, state, refine=args.refine,
                           mpc=args.warmup_mpc)
             print(f"[serve] warmup: all request buckets compiled in "

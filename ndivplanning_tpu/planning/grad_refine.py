@@ -122,8 +122,12 @@ def _grad_impl(cfg: Config, state: TrainState, scene: Scene,
     taus = jnp.concatenate([_decode(cfg, state, condition, z0),
                             _decode(cfg, state, condition, z_ref)])
     results = score_rollouts(cfg, scene, taus, weights)
-    best = jnp.argmin(results.score)
-    diverse_idx = _diverse_top_m(taus.reshape(2 * n, -1), results.score,
+    # NaN-safe selection (see cem.py): a NaN-scored refined candidate
+    # must not beat the finite prior draw via argmin/top-k.
+    sel_scores = jnp.where(jnp.isfinite(results.score), results.score,
+                           jnp.inf)
+    best = jnp.argmin(sel_scores)
+    diverse_idx = _diverse_top_m(taus.reshape(2 * n, -1), sel_scores,
                                  n_diverse)
     plan = PlanResult(
         best_traj=taus[best],

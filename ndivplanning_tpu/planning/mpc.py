@@ -64,7 +64,9 @@ def _replan(cfg: Config, gen_state: TrainState, scene: Scene,
     idx = jnp.minimum(jnp.arange(h) + offset, h - 1)
     taus = taus[:, idx, :]  # [N, H, 2]: tail shifted to front, end-padded
     results = score_rollouts(cfg, scene, taus, weights, state0=env_state)
-    best = jnp.argmin(results.score)
+    # NaN-safe selection (see cem.py): argmin over NaN picks the NaN.
+    scores = jnp.where(jnp.isfinite(results.score), results.score, jnp.inf)
+    best = jnp.argmin(scores)
     return taus[best]
 
 
@@ -157,7 +159,11 @@ def _episode_fused(cfg: Config, gen_state: TrainState, scene: Scene,
         taus = taus[:, idx, :]
         results = score_rollouts(cfg, scene, taus, weights,
                                  state0=env_state)
-        tau = taus[jnp.argmin(results.score)]
+        # NaN candidates must not win the argmin (same guard as cem.py:
+        # argmin over NaN picks the NaN); +inf drops them from selection.
+        scores = jnp.where(jnp.isfinite(results.score), results.score,
+                           jnp.inf)
+        tau = taus[jnp.argmin(scores)]
 
         def exec_body(state, wp):
             if cfg.rollout_mode == "waypoints":

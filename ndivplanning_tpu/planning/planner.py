@@ -112,9 +112,13 @@ def _plan_impl(cfg: Config, state: TrainState, scene: Scene,
     taus = generate_candidates(cfg, state, condition, key, n)
     results = score_rollouts(cfg, scene, taus, weights)
 
-    best = jnp.argmin(results.score)
+    # NaN-safe selection (see cem.py): argmin/top-k over NaN pick the
+    # NaN candidate; +inf drops non-finite scores from both selections.
+    sel_scores = jnp.where(jnp.isfinite(results.score), results.score,
+                           jnp.inf)
+    best = jnp.argmin(sel_scores)
     flat = taus.reshape(n, -1)
-    diverse_idx = _diverse_top_m(flat, results.score, n_diverse)
+    diverse_idx = _diverse_top_m(flat, sel_scores, n_diverse)
     return PlanResult(
         best_traj=taus[best],
         best_score=results.score[best],

@@ -134,25 +134,7 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
         except Exception as e:  # noqa: BLE001 — isolated per request
             responses[i] = {"error": f"{type(e).__name__}: {e}"}
 
-    if mpc_scenes:
-        key, sub = jax.random.split(key)
-        _handle_mpc(cfg, state, mpc_scenes, mpc_idx, responses, sub,
-                    arrivals)
-
-    pos = 0
-    max_bucket = BUCKETS[-1]
-    while pos < len(scenes):
-        chunk = scenes[pos:pos + max_bucket]
-        chunk_idx = idx[pos:pos + max_bucket]
-        pos += len(chunk)
-        bucket = _bucket_for(len(chunk))
-        # Pad with copies of the first scene; padded outputs are dropped.
-        padded = chunk + [chunk[0]] * (bucket - len(chunk))
-
-        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-        cond_b = _conditions_for_batch(cfg, scene_b)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, bucket)
+    def dispatch_plan(scene_b, cond_b, keys, bucket, chunk_idx):
         if refine == "cem":
             from ndivplanning_tpu.planning.cem import plan_cem_batch
 
@@ -183,7 +165,39 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
                 "latency_ms": round((t_done - arrivals[i]) * 1e3, 2),
                 "batch_size": bucket,
             }
+
+    # Cheap open-loop plans dispatch BEFORE any closed-loop episodes: one
+    # MPC request in a mixed burst must not add a full 64-step episode to
+    # the head-of-line latency of every ordinary request.
+    key, k_plan, k_mpc = jax.random.split(key, 3)
+    _dispatch_buckets(cfg, scenes, idx, k_plan, dispatch_plan)
+    if mpc_scenes:
+        _handle_mpc(cfg, state, mpc_scenes, mpc_idx, responses, k_mpc,
+                    arrivals)
     return responses  # every index was filled (planned or error)
+
+
+def _dispatch_buckets(cfg: Config, scenes: list[Scene], idx: list[int],
+                      key: jax.Array, dispatch) -> None:
+    """The shared serving dispatch frame (plan AND MPC requests): chunk
+    ``scenes`` into max-bucket groups, pad each chunk to its bucket size
+    with copies of the first scene (padded outputs are dropped by the
+    ``chunk_idx`` loop), build the stacked scene pytree + conditions in
+    one program, and call ``dispatch(scene_b, cond_b, keys, bucket,
+    chunk_idx)`` per chunk."""
+    pos = 0
+    max_bucket = BUCKETS[-1]
+    while pos < len(scenes):
+        chunk = scenes[pos:pos + max_bucket]
+        chunk_idx = idx[pos:pos + max_bucket]
+        pos += len(chunk)
+        bucket = _bucket_for(len(chunk))
+        padded = chunk + [chunk[0]] * (bucket - len(chunk))
+        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+        cond_b = _conditions_for_batch(cfg, scene_b)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, bucket)
+        dispatch(scene_b, cond_b, keys, bucket, chunk_idx)
 
 
 def handle_request(cfg: Config, state: TrainState, request: dict,
@@ -205,19 +219,7 @@ def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
     """
     from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
 
-    pos = 0
-    max_bucket = BUCKETS[-1]
-    while pos < len(scenes):
-        chunk = scenes[pos:pos + max_bucket]
-        chunk_idx = idx[pos:pos + max_bucket]
-        pos += len(chunk)
-        bucket = _bucket_for(len(chunk))
-        padded = chunk + [chunk[0]] * (bucket - len(chunk))
-
-        scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-        cond_b = _conditions_for_batch(cfg, scene_b)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, bucket)
+    def dispatch_mpc(scene_b, cond_b, keys, bucket, chunk_idx):
         result = mpc_rollout_batch(cfg, state, scene_b, cond_b, keys,
                                    total_steps=MPC_TOTAL_STEPS,
                                    replan_every=MPC_REPLAN_EVERY,
@@ -235,6 +237,8 @@ def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
                 "latency_ms": round((t_done - arrivals[i]) * 1e3, 2),
                 "batch_size": bucket,
             }
+
+    _dispatch_buckets(cfg, scenes, idx, key, dispatch_mpc)
 
 
 class _LineSource:
@@ -386,6 +390,10 @@ class _ResponseWriter:
 
     def _check(self) -> None:
         if self._error is not None:
+            # The consumer thread is dead: fall back to synchronous
+            # writes so later push() calls can't block on a full queue
+            # with nobody draining it, then surface the error once.
+            self._thread = None
             err, self._error = self._error, None
             raise err
 
@@ -427,6 +435,25 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     writer = _ResponseWriter(stdout, overlap)
     n = 0
     stop = False
+    try:
+        n = _serve_loop(cfg, state, source, writer, key, max_coalesce,
+                        refine, stop)
+    except BaseException:
+        # Flush/stop the writer without letting a secondary write error
+        # (dead client pipe) mask the loop's own exception.
+        try:
+            writer.close()
+        except Exception:  # noqa: BLE001
+            pass
+        raise
+    writer.close()  # clean path: surface any pending write error
+    return n
+
+
+def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
+                writer: _ResponseWriter, key: jax.Array,
+                max_coalesce: int, refine: str, stop: bool) -> int:
+    n = 0
     while not stop:
         first = source.readline()
         if first == "":
@@ -485,5 +512,4 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
                 pos += 1
             writer.push(response)
             n += 1
-    writer.close()
     return n

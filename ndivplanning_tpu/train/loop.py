@@ -84,10 +84,10 @@ def _check_dataset_marker(workdir: str, dataset, cfg: Config) -> None:
             f"run (mismatched fields: {mismatch}); resuming would "
             "misalign the deterministic batch order. Use a fresh "
             "--workdir.")
-    if set(want) - set(marker):
-        # Legacy marker verified compatible on its own keys: backfill
-        # the new fields so future resumes check the full fingerprint.
-        _write_dataset_marker(workdir, dataset, cfg)
+    # A legacy marker verified compatible on its own keys needs no
+    # explicit backfill here: train_from_dataset unconditionally rewrites
+    # the marker (with the full current fingerprint) right after this
+    # check passes.
 
 
 # Metrics where smaller is better; everything else is maximised by the

@@ -129,16 +129,19 @@ def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
     one-shot planner; same raw-array scene signature plus a
     ``best_curve[b, iters]`` output (the per-iteration best-so-far score,
     monotone non-increasing — deployments can assert refinement health).
-    Budget-split defaults match ``plan_cem``: population =
-    n_candidates / (iters + 1), elite = 10% (>= 2).
+    ``n_candidates`` semantics MATCH ``plan_cem`` exactly (an exported
+    artifact must agree with the live planner at the same argument): an
+    explicit value is the PER-ITERATION population; the ``None`` default
+    splits ``cfg.n_candidates`` across iterations (equal total rollout
+    budget to one-shot planning).  Elite = 10% of the population (>= 2).
     """
     from ndivplanning_tpu.envs.rollout import ScoreWeights
     from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
     from ndivplanning_tpu.planning.cem import _cem_impl
 
-    total = cfg.n_candidates if n_candidates is None else n_candidates
     iters = cfg.cem_iters if n_iters is None else n_iters
-    n = max(total // (iters + 1), 2)
+    n = (max(cfg.n_candidates // (iters + 1), 2)
+         if n_candidates is None else n_candidates)
     elite = max(n // 10, 2)
     state = jax.device_get(state)
     weights = ScoreWeights()
@@ -211,8 +214,10 @@ def export_bundle(cfg: Config, state, out_dir: str,
         "cem_planner": {
             "file": CEM_PLANNER_FILE,
             "bytes": len(cem_blob),
-            "n_candidates": (cfg.n_candidates if n_candidates is None
-                             else n_candidates),
+            # The population actually baked into the artifact (per
+            # iteration, plan_cem semantics) — not the ambiguous input.
+            "population": (max(cfg.n_candidates // (cfg.cem_iters + 1), 2)
+                           if n_candidates is None else n_candidates),
             "cem_iters": cfg.cem_iters,
             "n_diverse": n_diverse,
             "signature": "(conditions, start, goal, obstacles, "
