@@ -155,7 +155,24 @@ def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sustained = [float(q) for q in sys.argv[2:]] or [20.0, 45.0]
     cfg = get_config("planning")
-    state = create_train_state(cfg)
+    # SERVING_BENCH_WORKDIR: serve the measured-quality checkpoint
+    # (workdir config.json as base + <workdir>/best preferred, exactly
+    # like the CLI) so the QPS/latency row is measured over the model a
+    # production deployment would load.
+    workdir = os.environ.get("SERVING_BENCH_WORKDIR")
+    if workdir:
+        from ndivplanning_tpu.utils import checkpoint as ckpt
+        from ndivplanning_tpu.utils.config import load_config
+
+        recorded = load_config(workdir)
+        if recorded is not None:
+            cfg = recorded
+        state = create_train_state(cfg)
+        best = ckpt.restore_latest(os.path.join(workdir, "best"), state)
+        state = best if best is not None else (
+            ckpt.restore_latest(workdir, state) or state)
+    else:
+        state = create_train_state(cfg)
     # Pre-compile every serving bucket so sustained rows measure steady
     # state, not the first-request compile.
     warmup(cfg, state)
