@@ -169,6 +169,11 @@ def main(argv=None) -> int:
                            help="sample a fresh eval batch instead of "
                                 "the frozen 512-scene suite")
             p.add_argument("--suite-size", type=int, default=512)
+            p.add_argument("--dataset", default=None,
+                           help="evaluate against the true scenes of a "
+                                "recorded .npz dataset (record-data) "
+                                "instead of the frozen suite; uses the "
+                                "first --suite-size examples")
         if name in ("plan", "serve"):
             p.add_argument("--refine", choices=("none", "cem", "grad"),
                            default="none",
@@ -281,7 +286,29 @@ def main(argv=None) -> int:
 
     if args.cmd == "eval":
         state = _load_state(cfg)
-        if args.sampled:
+        if args.dataset:
+            # Honest held-out eval against a RECORDED dataset's true
+            # scenes (the same evaluate_on_batch leg train_from_dataset
+            # runs) — fixed latent key, so numbers are reproducible.
+            from ndivplanning_tpu.data.host_pipeline import (
+                ArrayDataset,
+                scenes_from_arrays,
+            )
+            from ndivplanning_tpu.data.tasks import Batch
+            from ndivplanning_tpu.train.evaluate import evaluate_on_batch
+
+            ds = ArrayDataset.from_npz(args.dataset)
+            n = min(args.suite_size, ds.size)
+            arrays = {k: v[:n] for k, v in ds.arrays.items()}
+            batch = Batch(
+                conditions=arrays["conditions"].astype("float32"),
+                real_traj=arrays["real_traj"].astype("float32"),
+                scenes=scenes_from_arrays(arrays, cfg.conditioning),
+            )
+            out = evaluate_on_batch(cfg, state,
+                                    jax.random.PRNGKey(cfg.seed + 1),
+                                    jax.device_put(batch))
+        elif args.sampled:
             from ndivplanning_tpu.train.evaluate import evaluate
 
             out = evaluate(cfg, state, jax.random.PRNGKey(cfg.seed + 2))

@@ -93,3 +93,19 @@ def test_plan_mpc_single_episode_reports_final_pos(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["final_pos"]) == 2
+
+
+def test_eval_dataset(tmp_path, capsys):
+    """`eval --dataset` evaluates against a recorded dataset's TRUE
+    scenes (honest held-out protocol from the CLI)."""
+    ds_path = str(tmp_path / "ds.npz")
+    rc = main(["record-data", "--preset", "pointmass2d", "--batch-size",
+               "8", "--k", "4", "--out", ds_path, "--n-examples", "64"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["eval", "--preset", "pointmass2d", "--batch-size", "8",
+               "--k", "4", "--workdir", "", "--dataset", ds_path,
+               "--suite-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "eval_success_rate" in out and "eval_collision_rate" in out
