@@ -309,3 +309,45 @@ def test_serve_overlap_matches_synchronous():
             return {k: v for k, v in obj.items() if k != "latency_ms"}
         outs.append([strip(p) for p in parsed])
     assert outs[0] == outs[1]
+
+
+def test_response_writer_error_falls_back_synchronous():
+    """A writer-thread write error surfaces once at the next push and
+    later pushes fall back to synchronous writes instead of deadlocking
+    the bounded queue behind a dead consumer thread."""
+    import time as _time
+
+    from ndivplanning_tpu.planning.server import _ResponseWriter
+
+    class FlakyOut:
+        def __init__(self):
+            self.fail = True
+            self.lines = []
+
+        def write(self, s):
+            if self.fail:
+                raise BrokenPipeError("client went away")
+            self.lines.append(s)
+
+        def flush(self):
+            pass
+
+    out = FlakyOut()
+    w = _ResponseWriter(out, overlap=True)
+    w.push({"a": 1})  # consumed by the thread, which dies on write
+    deadline = _time.time() + 5
+    surfaced = False
+    while _time.time() < deadline:
+        try:
+            w.push({"a": 2})
+        except BrokenPipeError:
+            surfaced = True
+            break
+        _time.sleep(0.01)
+    assert surfaced, "writer-thread error never surfaced"
+    # The stream recovers; pushes now write synchronously in order.
+    out.fail = False
+    w.push({"a": 3})
+    w.push({"a": 4})
+    w.close()
+    assert [json.loads(l) for l in out.lines] == [{"a": 3}, {"a": 4}]
