@@ -57,8 +57,13 @@ _SUBLANE = 8  # float32 sublane granularity
 # BACKWARD kernel's simultaneous intermediates (two distance/normalised
 # matrices + W + row sums + in/out tiles, double-buffered) hit 18.7 MB of
 # scoped VMEM > the 16 MB budget and fail to compile at scale; 1024 peaks
-# ~9 MB and is proven at every workload shape.
+# ~9 MB and is proven at every workload shape.  The FORWARD kernel's
+# footprint is far smaller (one scalar out, no W/grad tiles), so fwd and
+# bwd plan their tiles independently — fwd takes the 2048-row tile the
+# backward cannot afford (round-3; each path re-packs from the raw
+# (z, x) residuals, so the layouts need not agree).
 _BLOCK_ROW_TILE_TARGET = 1024
+_BLOCK_ROW_TILE_TARGET_FWD = 2048
 
 
 def _round_up(n: int, m: int) -> int:
@@ -233,9 +238,10 @@ def _bwd_kernel_block(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int,
     dx_ref[:] = gx.reshape(tb * kp, x_ref.shape[-1])
 
 
-def _plan_block(batch: int, k: int):
+def _plan_block(batch: int, k: int,
+                target: int = _BLOCK_ROW_TILE_TARGET):
     kp = _round_up(k, _SUBLANE)
-    tb = max(1, _BLOCK_ROW_TILE_TARGET // kp)
+    tb = max(1, target // kp)
     row_tile = tb * kp
     batch_pad = _round_up(batch, tb)
     grid = batch_pad // tb
@@ -264,7 +270,8 @@ def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
     dx_dim = x.shape[-1]
     batch = math.prod(lead)
     if variant == "block":
-        kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
+        kp, tb, row_tile, grid, batch_pad = _plan_block(
+            batch, k, _BLOCK_ROW_TILE_TARGET_FWD)
         kernel = functools.partial(_fwd_kernel_block, kp=kp, k=k, tb=tb,
                                    alpha=float(alpha))
     else:

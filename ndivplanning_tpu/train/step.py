@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ndivplanning_tpu.data.tasks import Batch, make_task
 from ndivplanning_tpu.ops.gan_losses import get_gan_losses
 from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
+from ndivplanning_tpu.ops.pairwise import pairwise_l2
 from ndivplanning_tpu.train.state import (
     TrainState,
     build_models,
@@ -290,9 +291,24 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         else:
             adv = g_loss_fn_of(fake_logits)
         ndiv = _ndiv(cfg, z, tau, mesh=mesh)
-        return adv + cfg.ndiv_weight * ndiv + fm_w * fm, (adv, ndiv, fm)
+        if cfg.div_floor > 0:
+            # Hinge on the ABSOLUTE mean pairwise distance (the eval
+            # statistic): NDiv's row-normalisation cannot see uniform
+            # diversity shrinkage (config.py div_floor).  Computed in
+            # GSPMD context, so sharded-k configs are globally correct.
+            flat = tau.reshape(tau.shape[0], cfg.k, -1)
+            pd = pairwise_l2(flat)
+            off = ~jnp.eye(cfg.k, dtype=bool)
+            mpd = jnp.sum(jnp.where(off, pd, 0.0)) / (
+                flat.shape[0] * cfg.k * (cfg.k - 1))
+            dfloor = jax.nn.relu(cfg.div_floor - mpd)
+        else:
+            dfloor = jnp.asarray(0.0, jnp.float32)
+        total = (adv + cfg.ndiv_weight * ndiv + fm_w * fm
+                 + cfg.div_floor_weight * dfloor)
+        return total, (adv, ndiv, fm, dfloor)
 
-    (g_total, (g_adv, g_ndiv, g_fm)), g_grads = jax.value_and_grad(
+    (g_total, (g_adv, g_ndiv, g_fm, g_dfloor)), g_grads = jax.value_and_grad(
         g_loss, has_aux=True
     )(state.g_params)
     g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
@@ -323,6 +339,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     }
     if fm_w > 0:
         metrics["g_fm"] = g_fm
+    if cfg.div_floor > 0:
+        metrics["g_divfloor"] = g_dfloor
     if r1_w > 0:
         metrics["d_r1"] = d_r1
     if in_sigma > 0:

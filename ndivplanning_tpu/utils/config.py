@@ -99,6 +99,18 @@ class Config:
     # into the late-soak D-overpowers-G collapse.  Changes D's param
     # tree schema (fresh workdir needed).
     d_spectral_norm: bool = False
+    # Absolute diversity floor (round-3 finding): NDiv normalises
+    # pairwise distances per condition, so it is SCALE-INVARIANT — a
+    # generator that shrinks all its samples toward one trajectory
+    # uniformly keeps g_ndiv ~ 0 while diversity collapses (measured:
+    # the SN+DiffAugment combo reaches 0.92 success with mean pairwise
+    # distance 0.07, BASELINE.md).  ``div_floor > 0`` adds
+    # div_floor_weight * relu(div_floor - mean_pairwise_dist(fakes))
+    # to the G objective — a hinge on the ABSOLUTE mean pairwise L2
+    # (same statistic eval reports), active only below the floor so a
+    # healthy generator pays nothing.  0 disables.
+    div_floor: float = 0.0
+    div_floor_weight: float = 1.0
 
     # Optimization
     g_lr: float = 1e-3
