@@ -167,6 +167,13 @@ class Config:
         return self.horizon * self.state_dim
 
     def replace(self, **kw) -> "Config":
+        # Coerce list-valued overrides for tuple-typed fields (JSON
+        # round-trips and ad-hoc callers hand lists): a list leaf makes
+        # the frozen Config unhashable, which breaks its use as a jit
+        # static argument far from the call site.
+        for name, value in kw.items():
+            if isinstance(value, list):
+                kw[name] = tuple(value)
         return dataclasses.replace(self, **kw)
 
 
