@@ -148,8 +148,22 @@ def _sample_imagecond(key: jax.Array, batch: int, horizon: int,
 # --------------------------------------------------------------- registry
 
 
+def task_fingerprint(cfg: Config) -> tuple:
+    """EVERY Config field :func:`make_task` (and its samplers) read —
+    the cache key for the frozen eval suite (train/evaluate.py).
+
+    Lives next to make_task so a change to what the samplers consume is
+    staring at the fingerprint it must extend; a stale fingerprint would
+    silently serve one preset's "frozen" suite to another
+    (tests/test_evaluate_plan.py pins the coupling)."""
+    return (cfg.conditioning, cfg.horizon, cfg.image_size)
+
+
 def make_task(cfg: Config) -> Task:
-    """Build the task sampler for a config (SURVEY.md §3.4 init flow)."""
+    """Build the task sampler for a config (SURVEY.md §3.4 init flow).
+
+    Reads only the fields in :func:`task_fingerprint` — extend BOTH
+    together."""
     horizon = cfg.horizon
     if cfg.conditioning == "none":
         fn = functools.partial(_sample_pointmass2d, horizon=horizon)

@@ -120,6 +120,25 @@ def _cem_impl(cfg: Config, state: TrainState, scene: Scene,
     return plan, best_curve
 
 
+def cem_population(cfg: Config, n_candidates: int | None = None,
+                   n_iters: int | None = None) -> tuple[int, int, int]:
+    """Resolve ``(population, default_elite, iters)`` for CEM planning —
+    the SINGLE source of the default budget split, shared by
+    :func:`plan_cem` / :func:`plan_cem_batch` and the export path
+    (utils/export.py bakes the population into the StableHLO artifact
+    and advertises it in the manifest; a drifted copy of this formula
+    would make the manifest lie about the artifact).
+
+    Population defaults to ``cfg.n_candidates // (iters + 1)`` so the
+    TOTAL rollout budget ``(iters + 1) * population`` matches the
+    one-shot planner's ``n_candidates``; elite = 10% of the population
+    (>= 2)."""
+    iters = cfg.cem_iters if n_iters is None else n_iters
+    n = (max(cfg.n_candidates // (iters + 1), 2)
+         if n_candidates is None else n_candidates)
+    return n, max(n // 10, 2), iters
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "n_candidates", "n_elite", "n_iters", "momentum", "sigma_floor",
     "n_diverse", "weights"))
@@ -141,10 +160,8 @@ def plan_cem(cfg: Config, state: TrainState, scene: Scene,
     (``(cem_iters+1) * n``) match the one-shot planner's
     ``n_candidates``; elite = 10% of the population (>= 2).
     """
-    iters = cfg.cem_iters if n_iters is None else n_iters
-    n = (max(cfg.n_candidates // (iters + 1), 2)
-         if n_candidates is None else n_candidates)
-    elite = max(n // 10, 2) if n_elite is None else n_elite
+    n, default_elite, iters = cem_population(cfg, n_candidates, n_iters)
+    elite = default_elite if n_elite is None else n_elite
     return _cem_impl(cfg, state, scene, condition, key, n, elite, iters,
                      momentum, sigma_floor, n_diverse, weights)
 
@@ -160,10 +177,8 @@ def plan_cem_batch(cfg: Config, state: TrainState, scenes: Scene,
                    n_diverse: int = 8,
                    weights: ScoreWeights = ScoreWeights()):
     """Batched ``plan_cem`` (vmap over scenes, same program)."""
-    iters = cfg.cem_iters if n_iters is None else n_iters
-    n = (max(cfg.n_candidates // (iters + 1), 2)
-         if n_candidates is None else n_candidates)
-    elite = max(n // 10, 2) if n_elite is None else n_elite
+    n, default_elite, iters = cem_population(cfg, n_candidates, n_iters)
+    elite = default_elite if n_elite is None else n_elite
     return jax.vmap(
         lambda sc, co, k: _cem_impl(cfg, state, sc, co, k, n, elite, iters,
                                     momentum, sigma_floor, n_diverse,

@@ -96,7 +96,8 @@ def _bucket_for(n: int) -> int:
 def handle_batch(cfg: Config, state: TrainState, requests: list,
                  key: jax.Array, n_diverse: int = 4,
                  refine: str = "none",
-                 arrivals: list[float] | None = None) -> list[dict]:
+                 arrivals: list[float] | None = None,
+                 on_progress=None, out: list | None = None) -> list[dict]:
     """Plan for a list of scene requests in bucketed ``plan_batch``
     dispatches; returns one JSON-serialisable response per request.
 
@@ -110,13 +111,27 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
     verdict weak #7: a request queued behind earlier chunks of a big
     burst must show its true latency, not its chunk's dispatch time).
 
+    ``on_progress`` (optional, zero-arg) is invoked after every dispatch
+    chunk has filled its slice of the response list (and once after the
+    parse-error pass): the serve loop uses it to WRITE already-answered
+    responses before later work — without it, one MPC episode at the
+    tail of a mixed burst would hold every finished plan response in
+    memory until the episode ends (round-3 review).
+
+    ``out`` (optional) is the response list to fill IN PLACE (length
+    ``len(requests)``, all None) so an ``on_progress`` caller can see
+    partial results; also returned.
+
     A malformed request yields an ``{"error": ...}`` entry at its
     position; the rest of the batch still plans.
     """
     t_in = time.perf_counter()
     if arrivals is None:
         arrivals = [t_in] * len(requests)
-    responses: list[dict | None] = [None] * len(requests)
+    if out is None:
+        out = [None] * len(requests)
+    assert len(out) == len(requests)
+    responses: list[dict | None] = out
     scenes: list[Scene] = []
     idx: list[int] = []
     mpc_scenes: list[Scene] = []
@@ -133,6 +148,8 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
                 idx.append(i)
         except Exception as e:  # noqa: BLE001 — isolated per request
             responses[i] = {"error": f"{type(e).__name__}: {e}"}
+    if on_progress is not None:
+        on_progress()  # error-only prefixes can flush before any compute
 
     def dispatch_plan(scene_b, cond_b, keys, bucket, chunk_idx):
         if refine == "cem":
@@ -165,15 +182,19 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
                 "latency_ms": round((t_done - arrivals[i]) * 1e3, 2),
                 "batch_size": bucket,
             }
+        if on_progress is not None:
+            on_progress()
 
     # Cheap open-loop plans dispatch BEFORE any closed-loop episodes: one
     # MPC request in a mixed burst must not add a full 64-step episode to
-    # the head-of-line latency of every ordinary request.
+    # the head-of-line latency of every ordinary request — and
+    # ``on_progress`` lets the caller WRITE those plan responses (in
+    # protocol order) before the episodes run.
     key, k_plan, k_mpc = jax.random.split(key, 3)
     _dispatch_buckets(cfg, scenes, idx, k_plan, dispatch_plan)
     if mpc_scenes:
         _handle_mpc(cfg, state, mpc_scenes, mpc_idx, responses, k_mpc,
-                    arrivals)
+                    arrivals, on_progress=on_progress)
     return responses  # every index was filled (planned or error)
 
 
@@ -208,7 +229,7 @@ def handle_request(cfg: Config, state: TrainState, request: dict,
 
 def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
                 idx: list[int], responses: list, key: jax.Array,
-                arrivals: list[float]) -> None:
+                arrivals: list[float], on_progress=None) -> None:
     """Closed-loop (``"mpc": true``) requests: bucketed
     ``mpc_rollout_batch`` dispatches, responses filled in place.
     ``arrivals`` is indexed by the ORIGINAL request position (``idx``
@@ -237,6 +258,8 @@ def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
                 "latency_ms": round((t_done - arrivals[i]) * 1e3, 2),
                 "batch_size": bucket,
             }
+        if on_progress is not None:
+            on_progress()
 
     _dispatch_buckets(cfg, scenes, idx, key, dispatch_mpc)
 
@@ -404,10 +427,28 @@ class _ResponseWriter:
         else:
             self._q.put(response)
 
-    def close(self) -> None:
-        if self._thread is not None:
-            self._q.put(_WRITER_DONE)
-            self._thread.join()
+    def close(self, timeout: float | None = None) -> None:
+        """Flush and stop the writer thread; surfaces any pending write
+        error.  Never hangs on a DEAD thread: the bounded put is retried
+        only while the thread is alive (a thread that died with the
+        queue full would otherwise block this forever — round-3 review).
+        A live thread wedged on a backpressured pipe blocks only up to
+        ``timeout`` (None = wait indefinitely: legitimate backpressure
+        drains once the client reads)."""
+        t = self._thread
+        if t is not None:
+            deadline = (None if timeout is None
+                        else time.perf_counter() + timeout)
+            while t.is_alive():
+                try:
+                    self._q.put(_WRITER_DONE, timeout=0.1)
+                    break
+                except queue.Full:
+                    if (deadline is not None
+                            and time.perf_counter() >= deadline):
+                        break
+            t.join(timeout)
+            self._thread = None
         self._check()
 
 
@@ -433,16 +474,16 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     key = jax.random.PRNGKey(seed)
     source = _LineSource(stdin)
     writer = _ResponseWriter(stdout, overlap)
-    n = 0
-    stop = False
     try:
         n = _serve_loop(cfg, state, source, writer, key, max_coalesce,
-                        refine, stop)
+                        refine)
     except BaseException:
         # Flush/stop the writer without letting a secondary write error
-        # (dead client pipe) mask the loop's own exception.
+        # (dead client pipe) mask the loop's own exception; bounded wait
+        # so a wedged pipe cannot turn the exception path into a hang
+        # (the daemon thread is abandoned past the deadline).
         try:
-            writer.close()
+            writer.close(timeout=5.0)
         except Exception:  # noqa: BLE001
             pass
         raise
@@ -452,8 +493,9 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
 
 def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 writer: _ResponseWriter, key: jax.Array,
-                max_coalesce: int, refine: str, stop: bool) -> int:
+                max_coalesce: int, refine: str) -> int:
     n = 0
+    stop = False
     while not stop:
         first = source.readline()
         if first == "":
@@ -466,9 +508,10 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
         # the burst then show queue time behind earlier dispatches.
         t_arrive = time.perf_counter()
 
-        # units: per answered line, (kind, payload) where kind is
-        # "single" | "list" | "error"
-        units: list[tuple[str, object]] = []
+        # units: per answered line, (kind, payload, start, count) —
+        # [start, start+count) is the line's slice of the flat request
+        # list (count 0 for parse errors, which carry their payload).
+        units: list[tuple[str, object, int, int]] = []
         flat: list[dict] = []
         for raw in lines:
             raw = raw.strip()
@@ -485,31 +528,49 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 parsed = json.loads(raw)
             except Exception as e:  # noqa: BLE001
                 units.append(("error",
-                              {"error": f"{type(e).__name__}: {e}"}))
+                              {"error": f"{type(e).__name__}: {e}"},
+                              len(flat), 0))
                 continue
             if isinstance(parsed, list):
-                units.append(("list", len(parsed)))
+                units.append(("list", None, len(flat), len(parsed)))
                 flat.extend(parsed)
             else:
-                units.append(("single", 1))
+                units.append(("single", None, len(flat), 1))
                 flat.append(parsed)
 
-        answers: list[dict] = []
+        # Responses are written IN LINE ORDER as soon as they (and every
+        # earlier line's) are ready — handle_batch's on_progress fires
+        # after each dispatch, so finished plan responses go out before
+        # a later line's MPC episode runs instead of buffering behind
+        # it.  latency_ms is restamped at write-enqueue: arrival ->
+        # handed to the writer in protocol order, which INCLUDES any
+        # in-order wait behind an earlier line still computing — the
+        # client-observable number (round-3 review; a response cannot
+        # reach the client before the protocol lets us write it).
+        answers: list = [None] * len(flat)
+        next_unit = 0
+
+        def flush_ready():
+            nonlocal n, next_unit
+            while next_unit < len(units):
+                kind, payload, start, count = units[next_unit]
+                chunk = answers[start:start + count]
+                if any(r is None for r in chunk):
+                    return
+                t_now = time.perf_counter()
+                for r in chunk:
+                    if "latency_ms" in r:
+                        r["latency_ms"] = round((t_now - t_arrive) * 1e3, 2)
+                response = (payload if kind == "error"
+                            else chunk if kind == "list" else chunk[0])
+                writer.push(response)
+                n += 1
+                next_unit += 1
+
         if flat:
             key, sub = jax.random.split(key)
-            answers = handle_batch(cfg, state, flat, sub, refine=refine,
-                                   arrivals=[t_arrive] * len(flat))
-        pos = 0
-        for kind, payload in units:
-            if kind == "error":
-                response: object = payload
-            elif kind == "list":
-                count = int(payload)  # type: ignore[arg-type]
-                response = answers[pos:pos + count]
-                pos += count
-            else:
-                response = answers[pos]
-                pos += 1
-            writer.push(response)
-            n += 1
+            handle_batch(cfg, state, flat, sub, refine=refine,
+                         arrivals=[t_arrive] * len(flat),
+                         on_progress=flush_ready, out=answers)
+        flush_ready()  # error-only bursts + anything not yet flushed
     return n

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ndivplanning_tpu.data.tasks import make_task
+from ndivplanning_tpu.data.tasks import make_task, task_fingerprint
 from ndivplanning_tpu.envs.rollout import ScoreWeights, _rollout_scan
 from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference
 from ndivplanning_tpu.ops.pairwise import pairwise_l2
@@ -26,7 +26,7 @@ from ndivplanning_tpu.train.state import (
     build_models,
     gen_params,
 )
-from ndivplanning_tpu.utils.config import Config, get_config
+from ndivplanning_tpu.utils.config import Config
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "eval_batch", "use_ema"))
@@ -67,32 +67,37 @@ EVAL_SUITE_SEED = 0xE7A1
 EVAL_SUITE_SIZE = 512
 
 
-@functools.lru_cache(maxsize=8)
-def _suite_cached(conditioning: str, horizon: int, image_size: int,
-                  n_scenes: int, seed: int):
-    # make_task reads exactly (conditioning, horizon, image_size) off the
-    # config — keying the cache on the FULL Config made byte-identical
-    # suites (an imagecond suite is ~200 MB of rasterised scenes) occupy
-    # separate slots for configs differing only in workdir/steps/lr
-    # (round-2 verdict weak #4).
-    cfg = get_config("pointmass2d", conditioning=conditioning,
-                     horizon=horizon, image_size=image_size)
-    task = make_task(cfg)
-    return task.sample(jax.random.PRNGKey(seed), n_scenes)
+# Keyed on task_fingerprint (the fields make_task actually consumes,
+# owned by data/tasks.py next to make_task) — keying on the FULL Config
+# made byte-identical suites (an imagecond suite is ~200 MB of
+# rasterised scenes) occupy separate slots for configs differing only
+# in workdir/steps/lr (round-2 verdict weak #4), and reconstructing a
+# surrogate config from a hardcoded preset would silently desync the
+# moment make_task grew a new field dependency (round-3 review).
+_SUITE_CACHE: dict = {}
+_SUITE_CACHE_MAX = 8
 
 
 def make_eval_suite(cfg: Config, n_scenes: int = EVAL_SUITE_SIZE,
                     seed: int = EVAL_SUITE_SEED):
     """The preset's frozen evaluation set: a fixed batch of scenes/
-    conditions/expert trajectories keyed only by (conditioning, shapes,
-    seed) — NOT by the training seed or any other config field.
+    conditions/expert trajectories keyed only by
+    ``task_fingerprint(cfg)`` (the config fields the task sampler
+    reads) plus (n_scenes, seed) — NOT by the training seed or any
+    other config field.
 
     Cached: train() calls this every ``eval_every`` steps, and re-running
     the eager scene-sampling graph costs many ~35 ms dispatches per call
     on the TPU tunnel for a byte-identical result.
     """
-    return _suite_cached(cfg.conditioning, cfg.horizon, cfg.image_size,
-                         n_scenes, seed)
+    key = (task_fingerprint(cfg), n_scenes, seed)
+    suite = _SUITE_CACHE.get(key)
+    if suite is None:
+        while len(_SUITE_CACHE) >= _SUITE_CACHE_MAX:  # FIFO bound
+            _SUITE_CACHE.pop(next(iter(_SUITE_CACHE)))
+        suite = make_task(cfg).sample(jax.random.PRNGKey(seed), n_scenes)
+        _SUITE_CACHE[key] = suite
+    return suite
 
 
 def evaluate_fixed(cfg: Config, state: TrainState,

@@ -137,12 +137,9 @@ def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
     """
     from ndivplanning_tpu.envs.rollout import ScoreWeights
     from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
-    from ndivplanning_tpu.planning.cem import _cem_impl
+    from ndivplanning_tpu.planning.cem import _cem_impl, cem_population
 
-    iters = cfg.cem_iters if n_iters is None else n_iters
-    n = (max(cfg.n_candidates // (iters + 1), 2)
-         if n_candidates is None else n_candidates)
-    elite = max(n // 10, 2)
+    n, elite, iters = cem_population(cfg, n_candidates, n_iters)
     state = jax.device_get(state)
     weights = ScoreWeights()
 
@@ -180,6 +177,8 @@ def export_bundle(cfg: Config, state, out_dir: str,
 
     Returns the manifest dict (artifact names, sizes, config).
     """
+    from ndivplanning_tpu.planning.cem import cem_population
+
     os.makedirs(out_dir, exist_ok=True)
     gen_blob = export_generator(cfg, state)
     plan_blob = export_planner(cfg, state, n_candidates=n_candidates,
@@ -216,8 +215,7 @@ def export_bundle(cfg: Config, state, out_dir: str,
             "bytes": len(cem_blob),
             # The population actually baked into the artifact (per
             # iteration, plan_cem semantics) — not the ambiguous input.
-            "population": (max(cfg.n_candidates // (cfg.cem_iters + 1), 2)
-                           if n_candidates is None else n_candidates),
+            "population": cem_population(cfg, n_candidates)[0],
             "cem_iters": cfg.cem_iters,
             "n_diverse": n_diverse,
             "signature": "(conditions, start, goal, obstacles, "

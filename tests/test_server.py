@@ -351,3 +351,67 @@ def test_response_writer_error_falls_back_synchronous():
     w.push({"a": 4})
     w.close()
     assert [json.loads(l) for l in out.lines] == [{"a": 3}, {"a": 4}]
+
+
+def test_mixed_burst_plan_responses_written_before_mpc(monkeypatch):
+    """Round-3 review: a plan line earlier in the burst is WRITTEN
+    before a later MPC line's episode runs (eager in-order flush via
+    handle_batch's on_progress), instead of buffering behind it."""
+    from ndivplanning_tpu.planning import server as srv
+
+    monkeypatch.setattr(srv, "MPC_TOTAL_STEPS", 8)
+    monkeypatch.setattr(srv, "MPC_REPLAN_EVERY", 4)
+    monkeypatch.setattr(srv, "MPC_CANDIDATES", 8)
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    stdout = io.StringIO()
+    seen_at_mpc = {}
+
+    real = srv._handle_mpc
+
+    def spy(*args, **kwargs):
+        seen_at_mpc["lines_written"] = stdout.getvalue().count("\n")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(srv, "_handle_mpc", spy)
+    stdin = io.StringIO(
+        json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]}) + "\n"
+        + json.dumps({"start": [0.2, 0.1], "goal": [0.9, 0.8],
+                      "mpc": True}) + "\n"
+        + "quit\n")
+    served = serve(cfg, state, stdin=stdin, stdout=stdout, overlap=False)
+    assert served == 2
+    # The open-loop plan response was already on the wire when the
+    # closed-loop episode started.
+    assert seen_at_mpc["lines_written"] == 1
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert "best_traj" in lines[0] and "path" in lines[1]
+    # And the MPC line's latency includes the episode it computed.
+    assert lines[1]["latency_ms"] >= lines[0]["latency_ms"]
+
+
+def test_writer_close_does_not_hang_on_dead_thread_full_queue():
+    """Round-3 review: close() must not block forever when the writer
+    thread died (write error) while the bounded queue is full — the
+    DONE sentinel put is only retried while the thread is alive."""
+    import time as _time
+
+    import pytest
+
+    from ndivplanning_tpu.planning.server import _ResponseWriter
+
+    class _DeadPipe(io.StringIO):
+        def write(self, s):
+            raise OSError("client gone")
+
+    w = _ResponseWriter(_DeadPipe(), overlap=True)
+    w._q.put({"a": 1})  # thread pops it, write raises, thread dies
+    for _ in range(500):
+        if not w._thread.is_alive():
+            break
+        _time.sleep(0.01)
+    assert not w._thread.is_alive()
+    for i in range(4):  # fill the queue with nobody draining
+        w._q.put({"i": i}, timeout=1)
+    with pytest.raises(OSError):
+        w.close()  # pre-fix: blocked forever on the sentinel put
