@@ -82,8 +82,53 @@ def _condition_for(cfg: Config, scene: Scene) -> jnp.ndarray:
 def _conditions_for_batch(cfg: Config, scene_b: Scene) -> jnp.ndarray:
     """Conditions for a STACKED scene pytree in one dispatch — a
     per-scene eager loop would pay the ~35 ms tunnel round-trip per
-    scene (image rasterisation dominated a 16-burst before this)."""
+    scene (image rasterisation dominated a 16-burst before this).
+    (The serving loop no longer uses this — condition building is fused
+    into the per-bucket programs below; `cli.py eval --dataset` still
+    does.)"""
     return jax.vmap(lambda s: _condition_for(cfg, s))(scene_b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_diverse", "refine"))
+def _serve_plan_program(cfg: Config, state: TrainState, scene_b: Scene,
+                        keys: jax.Array, n_diverse: int, refine: str):
+    """The per-bucket serving program: condition building (image
+    rasterisation / startgoal concat) FUSED into the planning program,
+    so a chunk costs ONE dispatch instead of two — on the ~35 ms-per-
+    dispatch TPU tunnel the separate conditions program was half the
+    single-request latency (round 3).  plan_batch / the refine variants
+    inline here (jit-in-jit composes into one XLA program)."""
+    cond_b = jax.vmap(lambda s: _condition_for(cfg, s))(scene_b)
+    if refine == "cem":
+        from ndivplanning_tpu.planning.cem import plan_cem_batch
+
+        result, _ = plan_cem_batch(cfg, state, scene_b, cond_b, keys,
+                                   n_diverse=n_diverse)
+    elif refine == "grad":
+        from ndivplanning_tpu.planning.grad_refine import plan_grad_batch
+
+        result, _ = plan_grad_batch(cfg, state, scene_b, cond_b, keys,
+                                    n_diverse=n_diverse)
+    else:
+        result = plan_batch(cfg, state, scene_b, cond_b, keys,
+                            n_diverse=n_diverse)
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "total_steps", "replan_every", "n_candidates"))
+def _serve_mpc_program(cfg: Config, state: TrainState, scene_b: Scene,
+                       keys: jax.Array, total_steps: int,
+                       replan_every: int, n_candidates: int):
+    """Closed-loop serving program, conditions fused (see
+    :func:`_serve_plan_program`)."""
+    from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
+
+    cond_b = jax.vmap(lambda s: _condition_for(cfg, s))(scene_b)
+    return mpc_rollout_batch(cfg, state, scene_b, cond_b, keys,
+                             total_steps=total_steps,
+                             replan_every=replan_every,
+                             n_candidates=n_candidates)
 
 
 def _bucket_for(n: int) -> int:
@@ -151,20 +196,9 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
     if on_progress is not None:
         on_progress()  # error-only prefixes can flush before any compute
 
-    def dispatch_plan(scene_b, cond_b, keys, bucket, chunk_idx):
-        if refine == "cem":
-            from ndivplanning_tpu.planning.cem import plan_cem_batch
-
-            result, _ = plan_cem_batch(cfg, state, scene_b, cond_b, keys,
-                                       n_diverse=n_diverse)
-        elif refine == "grad":
-            from ndivplanning_tpu.planning.grad_refine import plan_grad_batch
-
-            result, _ = plan_grad_batch(cfg, state, scene_b, cond_b, keys,
-                                        n_diverse=n_diverse)
-        else:
-            result = plan_batch(cfg, state, scene_b, cond_b, keys,
-                                n_diverse=n_diverse)
+    def dispatch_plan(scene_b, keys, bucket, chunk_idx):
+        result = _serve_plan_program(cfg, state, scene_b, keys,
+                                     n_diverse, refine)
         # ONE host transfer for the whole dispatch: the diverse set was
         # gathered on device, so the [B, N, H, S] candidate tensor never
         # crosses the tunnel (each separate fetch costs ~35 ms there).
@@ -203,9 +237,9 @@ def _dispatch_buckets(cfg: Config, scenes: list[Scene], idx: list[int],
     """The shared serving dispatch frame (plan AND MPC requests): chunk
     ``scenes`` into max-bucket groups, pad each chunk to its bucket size
     with copies of the first scene (padded outputs are dropped by the
-    ``chunk_idx`` loop), build the stacked scene pytree + conditions in
-    one program, and call ``dispatch(scene_b, cond_b, keys, bucket,
-    chunk_idx)`` per chunk."""
+    ``chunk_idx`` loop), build the stacked scene pytree, and call
+    ``dispatch(scene_b, keys, bucket, chunk_idx)`` per chunk (condition
+    building happens INSIDE the dispatch's fused program)."""
     pos = 0
     max_bucket = BUCKETS[-1]
     while pos < len(scenes):
@@ -215,10 +249,9 @@ def _dispatch_buckets(cfg: Config, scenes: list[Scene], idx: list[int],
         bucket = _bucket_for(len(chunk))
         padded = chunk + [chunk[0]] * (bucket - len(chunk))
         scene_b = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-        cond_b = _conditions_for_batch(cfg, scene_b)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, bucket)
-        dispatch(scene_b, cond_b, keys, bucket, chunk_idx)
+        dispatch(scene_b, keys, bucket, chunk_idx)
 
 
 def handle_request(cfg: Config, state: TrainState, request: dict,
@@ -238,13 +271,10 @@ def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
     Response: {"path": [[x, y] * MPC_TOTAL_STEPS], "reached": 0|1,
     "collided": 0|1, "n_replans": n, "latency_ms": t, "batch_size": b}.
     """
-    from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
-
-    def dispatch_mpc(scene_b, cond_b, keys, bucket, chunk_idx):
-        result = mpc_rollout_batch(cfg, state, scene_b, cond_b, keys,
-                                   total_steps=MPC_TOTAL_STEPS,
-                                   replan_every=MPC_REPLAN_EVERY,
-                                   n_candidates=MPC_CANDIDATES)
+    def dispatch_mpc(scene_b, keys, bucket, chunk_idx):
+        result = _serve_mpc_program(cfg, state, scene_b, keys,
+                                    MPC_TOTAL_STEPS, MPC_REPLAN_EVERY,
+                                    MPC_CANDIDATES)
         path, reached, collided = jax.device_get(
             (result.positions, result.reached, result.collided))
         t_done = time.perf_counter()
