@@ -124,6 +124,17 @@ def _load_state(cfg, prefer_best: bool = True):
         if best is not None:
             return best
     restored = ckpt.restore_latest(cfg.workdir, state)
+    if restored is None:
+        # Serving/eval over random init is almost never what the user
+        # meant — say so loudly (stderr: stdout carries the JSON
+        # protocol) instead of silently producing garbage plans.
+        import sys
+
+        print(f"[warning] no checkpoint found in workdir "
+              f"{cfg.workdir!r}: using UNTRAINED weights. Train first, "
+              "or use the shipped pretrained model: "
+              "--workdir checkpoints/planning512 (see checkpoints/"
+              "README.md).", file=sys.stderr)
     return restored if restored is not None else state
 
 
