@@ -50,6 +50,23 @@ class ConditionedGenerator(nn.Module):
             mode=self.cfg.conditioning, embed_dim=self.cfg.cond_embed_dim,
             encoder_features=self.cfg.encoder_features, dtype=dtype,
         )(conditions)
+        if self.cfg.g_arch == "transformer":
+            from ndivplanning_tpu.models.transformer import (
+                TrajectoryTransformer,
+            )
+
+            return TrajectoryTransformer(
+                horizon=self.cfg.horizon,
+                state_dim=self.cfg.state_dim,
+                dim=self.cfg.g_tf_dim,
+                layers=self.cfg.g_tf_layers,
+                heads=self.cfg.g_tf_heads,
+                output=self.cfg.generator_output,
+                dtype=dtype,
+            )(cond_embed, z)
+        if self.cfg.g_arch != "mlp":
+            raise ValueError(f"unknown g_arch {self.cfg.g_arch!r}; "
+                             "choose from ['mlp', 'transformer']")
         return Generator(
             horizon=self.cfg.horizon,
             state_dim=self.cfg.state_dim,

@@ -39,7 +39,16 @@ class Config:
     latent_dim: int = 2
 
     # Models
+    # Generator family: "mlp" (the reference's shape; default, the
+    # trained/recorded family) or "transformer" (waypoint tokens +
+    # pre-LN self-attention, models/transformer.py).  Changing it
+    # changes the g_params schema — use a fresh workdir.
+    g_arch: str = "mlp"  # mlp | transformer
     g_hidden: Tuple[int, ...] = (256, 256)
+    # Transformer-family hyperparameters (ignored by g_arch="mlp").
+    g_tf_dim: int = 128
+    g_tf_layers: int = 2
+    g_tf_heads: int = 4
     d_hidden: Tuple[int, ...] = (256, 256)
     cond_embed_dim: int = 64
     encoder_features: Tuple[int, ...] = (16, 32, 64)  # conv channels
