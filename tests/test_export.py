@@ -139,3 +139,27 @@ def test_cem_export_matches_live_plan_cem(tmp_path):
                                        float(best_score[i]), atol=1e-6)
             np.testing.assert_allclose(np.asarray(want_curve),
                                        np.asarray(curve[i]), atol=1e-6)
+
+
+def test_generator_export_transformer_family(tmp_path):
+    """The attention-decoder family exports through the same bundle path:
+    build_models honors cfg.g_arch, so the serialized artifact must match
+    the live transformer generator (and the manifest must record the
+    family so a deployer knows what they loaded)."""
+    cfg = _small(g_arch="transformer", g_tf_dim=32, g_tf_layers=1,
+                 g_tf_heads=2)
+    state = create_train_state(cfg)
+    manifest = export_bundle(cfg, state, str(tmp_path))
+    assert manifest["config"]["g_arch"] == "transformer"
+
+    g = load_exported(str(tmp_path / GENERATOR_FILE))
+    gen, _ = build_models(cfg)
+    for b, n in [(2, 3), (1, 5)]:
+        key = jax.random.PRNGKey(b * 7 + n)
+        cond = jax.random.uniform(key, (b, 4))
+        z = jax.random.normal(jax.random.fold_in(key, 1),
+                              (b, n, cfg.latent_dim))
+        want = gen.apply(gen_params(cfg, state), cond, z)
+        got = g(cond, z)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=2e-6, atol=2e-7)
