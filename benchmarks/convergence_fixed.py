@@ -33,10 +33,20 @@ def run(preset: str, steps: int, eval_every: int, overrides: dict) -> dict:
     curve = []
     done = 0
     t0 = time.monotonic()
+    # Cap the per-dispatch scan length: a single device execution that
+    # runs much past ~1 minute crashes the axon TPU worker ("TPU worker
+    # process crashed or restarted") — measured: imagecond 5000-step
+    # chunks at ~35 s survive, transformer-G 5000-step chunks at ~75 s
+    # (15 ms/step) died twice at the first post-chunk fetch.  Default
+    # keeps the historical single-program behaviour; set
+    # CONVERGENCE_CHUNK_CAP for slow-per-step models.
+    cap = int(os.environ.get("CONVERGENCE_CHUNK_CAP", "0")) or eval_every
     while done < steps:
-        n = min(eval_every, steps - done)
-        state, m = train_chunk(cfg, state, n)
-        done += n
+        boundary = min(done + eval_every, steps)
+        while done < boundary:
+            n = min(cap, boundary - done)
+            state, m = train_chunk(cfg, state, n)
+            done += n
         ev = {k: float(v) for k, v in
               evaluate_fixed(cfg, state, n_scenes=512).items()}
         if cfg.g_ema_decay > 0:
@@ -75,14 +85,16 @@ def main() -> None:
     eval_every = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
     presets = sys.argv[3:] or ["goalcond", "imagecond"]
     results = []
+    path = os.environ.get("CONVERGENCE_OUT") or os.path.join(
+        os.path.dirname(__file__), "convergence_fixed_results.json")
     for p in presets:
         name, _, ov = p.partition(":")
         overrides = json.loads(ov) if ov else {}
         results.append(run(name, steps, eval_every, overrides))
-    path = os.environ.get("CONVERGENCE_OUT") or os.path.join(
-        os.path.dirname(__file__), "convergence_fixed_results.json")
-    with open(path, "w") as f:
-        json.dump(results, f, indent=1)
+        # Write after EVERY preset: a crash (or a TPU-worker restart) on
+        # seed N must not lose seeds 0..N-1 — that already happened once.
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
