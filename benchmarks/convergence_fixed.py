@@ -28,7 +28,13 @@ def run(preset: str, steps: int, eval_every: int, overrides: dict) -> dict:
     from ndivplanning_tpu.train.step import train_chunk
     from ndivplanning_tpu.utils.config import get_config
 
-    cfg = get_config(preset, dp_shards=1, div_shards=1, **overrides)
+    # The schedule horizon must match the soak budget: decaying
+    # lr_schedules land on lr_final_ratio (default 0) at cfg.steps, and
+    # the preset default is 10k — a 100k cosine soak that forgets to
+    # override `steps` trains with LR=0 past 10k and flatlines (this
+    # burned a 3-seed transformer soak).  Explicit overrides still win.
+    cfg = get_config(preset, dp_shards=1, div_shards=1,
+                     **{"steps": steps, **overrides})
     state = create_train_state(cfg)
     curve = []
     done = 0
