@@ -13,6 +13,14 @@
 cd "$(dirname "$0")/.."
 set -u
 
+# 1250-step chunks (4 per 5000-step eval window, one compiled shape):
+# base imagecond is ~7 ms/step so 5000-step chunks sit at ~35 s, and the
+# 512x2 capacity probes below are 2-3x slower per step — without a cap
+# they would cross the ~1-minute single-dispatch limit that crashes the
+# axon TPU worker (CLAUDE.md round-3 gotchas).  Extra fetch overhead is
+# ~35 ms per chunk boundary: negligible against a 150k soak.
+export CONVERGENCE_CHUNK_CAP=${CONVERGENCE_CHUNK_CAP:-1250}
+
 run() {
   out=$1; shift
   for attempt in 1 2; do
