@@ -107,6 +107,12 @@ class TrainState:
     d_opt_state: optax.OptState
     # EMA of g_params (cfg.g_ema_decay > 0); equals g_params otherwise.
     g_ema_params: dict
+    # LeCam anchor trackers (config.py lecam_weight): EMAs of D's mean
+    # real/fake logits, bias-corrected at read time by `step` like Adam
+    # moments.  Carried (as zeros) even when the knob is off so the
+    # TrainState schema is uniform; pre-lecam checkpoints migrate via
+    # utils/checkpoint.py::_restore_legacy.
+    lecam_ema: dict
 
 
 def gen_params(cfg: Config, state: TrainState):
@@ -188,6 +194,8 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
         # Distinct buffers, not an alias: the fused step donates the
         # whole state, and XLA rejects donating one buffer twice.
         g_ema_params=jax.tree.map(jnp.copy, g_params),
+        lecam_ema={"real": jnp.zeros((), jnp.float32),
+                   "fake": jnp.zeros((), jnp.float32)},
     )
 
 

@@ -221,11 +221,39 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
 
     # ---------------- D update ----------------
     r1_w = cfg.r1_weight
+    lc_w = cfg.lecam_weight
+    if lc_w > 0:
+        # Bias-corrected anchors (Adam-style): after n tracker updates
+        # the EMA's weight mass is (1 - decay^n), so dividing by it makes
+        # the cold-start anchor the first batches' mean instead of the
+        # zero init.  state.step == n (one tracker update per step).
+        n = state.step.astype(jnp.float32)
+        corr = 1.0 - jnp.power(jnp.asarray(cfg.lecam_decay, jnp.float32),
+                               n)
+        anchor_real = jnp.where(
+            state.step > 0, state.lecam_ema["real"] / jnp.maximum(
+                corr, jnp.finfo(jnp.float32).tiny), 0.0)
+        anchor_fake = jnp.where(
+            state.step > 0, state.lecam_ema["fake"] / jnp.maximum(
+                corr, jnp.finfo(jnp.float32).tiny), 0.0)
 
     def d_loss(d_params):
         real_logits = disc.apply(d_params, cond_real_d, real_for_d)
         fake_logits = disc.apply(d_params, cond_fake_d, fake_for_d)
         loss = d_loss_fn_of(real_logits, fake_logits)
+        aux = {}
+        if lc_w > 0:
+            # LeCam (config.py lecam_weight): pin each class' logits to
+            # the OTHER class' historical mean — the real-fake gap D can
+            # open is bounded by how far it pushes both terms, which is
+            # what diverges in the late-soak collapse.  Anchors are
+            # state trackers: constants w.r.t. d_params.
+            lecam = (jnp.mean(jnp.square(real_logits - anchor_fake))
+                     + jnp.mean(jnp.square(fake_logits - anchor_real)))
+            loss = loss + lc_w * lecam
+            aux["lecam"] = lecam
+            aux["mean_real"] = jnp.mean(real_logits)
+            aux["mean_fake"] = jnp.mean(fake_logits)
         if r1_w > 0:
             # R1 penalty: squared grad norm of D's real-sample logits wrt
             # the trajectory input, averaged over the batch.  The inner
@@ -242,13 +270,29 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
             loss = loss + 0.5 * r1_w * r1
         else:
             r1 = jnp.asarray(0.0, jnp.float32)
-        return loss, r1
+        aux["r1"] = r1
+        return loss, aux
 
-    (d_loss_val, d_r1), d_grads = jax.value_and_grad(
+    (d_loss_val, d_aux), d_grads = jax.value_and_grad(
         d_loss, has_aux=True)(state.d_params)
+    d_r1 = d_aux["r1"]
     d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                          state.d_params)
     d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
+
+    if lc_w > 0:
+        # Tracker update: one EMA step per train step on the batch means
+        # D just saw (at the pre-update params — the same view the loss
+        # used).  stop_gradient is implicit: d_aux left the grad trace.
+        lc_d = cfg.lecam_decay
+        lecam_ema = {
+            "real": lc_d * state.lecam_ema["real"]
+            + (1.0 - lc_d) * d_aux["mean_real"],
+            "fake": lc_d * state.lecam_ema["fake"]
+            + (1.0 - lc_d) * d_aux["mean_fake"],
+        }
+    else:
+        lecam_ema = state.lecam_ema
 
     # ---------------- G update (against updated D) ----------------
     fm_w = cfg.feature_matching_weight
@@ -330,6 +374,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         g_opt_state=g_opt_state,
         d_opt_state=d_opt_state,
         g_ema_params=g_ema_params,
+        lecam_ema=lecam_ema,
     )
     metrics = {
         "d_loss": d_loss_val,
@@ -343,6 +388,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         metrics["g_divfloor"] = g_dfloor
     if r1_w > 0:
         metrics["d_r1"] = d_r1
+    if lc_w > 0:
+        metrics["d_lecam"] = d_aux["lecam"]
     if in_sigma > 0:
         metrics["d_noise_sigma"] = sigma
     g_sched = lr_schedule(cfg, cfg.g_lr)

@@ -75,24 +75,44 @@ def restore_latest(workdir: str, state_template):
 
 
 def _restore_legacy(mgr, step: int, state_template):
-    """Restore a pre-g_ema_params checkpoint into the current TrainState."""
+    """Restore an older-schema checkpoint into the current TrainState.
+
+    Two legacy generations, tried newest-first:
+
+    - pre-``lecam_ema`` (mid round 3): the LeCam trackers are missing —
+      restored as zeros.  (If such a run resumes WITH lecam newly
+      enabled, the anchors re-warm over ~1/(1-decay) steps: the bias
+      correction keys on the global step, which restores large.)
+    - pre-``g_ema_params`` (round 2): additionally missing the EMA slot
+      — restored as a fresh copy of the restored ``g_params`` (a copy,
+      not an alias: the donated step rejects twice-donated buffers).
+    """
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
-    legacy_fields = [f.name for f in dataclasses.fields(state_template)
-                     if f.name != "g_ema_params"]
-    legacy_template = {name: getattr(state_template, name)
-                       for name in legacy_fields}
-    restored = mgr.restore(
-        step, args=ocp.args.StandardRestore(legacy_template)
-    )
-    return dataclasses.replace(
-        state_template,
-        **restored,
-        g_ema_params=jax.tree.map(jnp.copy, restored["g_params"]),
-    )
+    def _template_without(missing):
+        return {f.name: getattr(state_template, f.name)
+                for f in dataclasses.fields(state_template)
+                if f.name not in missing}
+
+    fresh_lecam = {"real": jnp.zeros((), jnp.float32),
+                   "fake": jnp.zeros((), jnp.float32)}
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(
+            _template_without(("lecam_ema",))))
+        return dataclasses.replace(state_template, **restored,
+                                   lecam_ema=fresh_lecam)
+    except ValueError:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(
+            _template_without(("lecam_ema", "g_ema_params"))))
+        return dataclasses.replace(
+            state_template,
+            **restored,
+            g_ema_params=jax.tree.map(jnp.copy, restored["g_params"]),
+            lecam_ema=fresh_lecam,
+        )
 
 
 def latest_step(workdir: str) -> int | None:

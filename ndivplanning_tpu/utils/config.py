@@ -120,6 +120,18 @@ class Config:
     # healthy generator pays nothing.  0 disables.
     div_floor: float = 0.0
     div_floor_weight: float = 1.0
+    # LeCam regularization (Tseng et al. 2021): anchor D's real/fake
+    # logits to EMA trackers of the OPPOSITE class' mean logit,
+    # d_loss += lecam_weight * (E_real[(D - ema_fake)^2]
+    #                           + E_fake[(D - ema_real)^2]).
+    # Bounds the real-fake prediction gap D can open, which is exactly
+    # the late-soak failure mode (D overpowers G past ~70k, BASELINE.md)
+    # — and unlike spectral norm it constrains the FUNCTION gap, not the
+    # per-layer Lipschitz constant, so it caps less capacity.  Trackers
+    # live in TrainState.lecam_ema (bias-corrected by step, so the
+    # cold-start anchor is the first batches' mean, not 0).  0 disables.
+    lecam_weight: float = 0.0
+    lecam_decay: float = 0.99
 
     # Optimization
     g_lr: float = 1e-3

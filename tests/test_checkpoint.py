@@ -68,31 +68,64 @@ def test_restore_none_when_empty(tmp_path):
     assert ckpt.restore_latest(cfg.workdir, template) is None
 
 
-def test_legacy_checkpoint_without_ema_restores(tmp_path):
-    """Checkpoints written before TrainState.g_ema_params existed must
-    restore with the EMA slot seeded from g_params (round-2 review)."""
+def _save_legacy(tmp_path, state, missing):
+    """Write a checkpoint with `missing` TrainState fields dropped,
+    simulating an older schema generation."""
     import dataclasses
 
     import orbax.checkpoint as ocp
 
+    legacy = {f.name: getattr(state, f.name)
+              for f in dataclasses.fields(state)
+              if f.name not in missing}
+    mgr = ocp.CheckpointManager(str(tmp_path / "checkpoints"))
+    mgr.save(0, args=ocp.args.StandardSave(legacy))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def test_legacy_checkpoint_without_ema_restores(tmp_path):
+    """Round-2-era checkpoints (no g_ema_params, no lecam_ema) must
+    restore with the EMA slot seeded from g_params and zero LeCam
+    trackers (round-2 review; utils/checkpoint.py::_restore_legacy)."""
     import jax
 
     cfg = _cfg(tmp_path)
     state = create_train_state(cfg)
-    legacy = {f.name: getattr(state, f.name)
-              for f in dataclasses.fields(state)
-              if f.name != "g_ema_params"}
-    path = str(tmp_path / "checkpoints")
-    mgr = ocp.CheckpointManager(path)
-    mgr.save(0, args=ocp.args.StandardSave(legacy))
-    mgr.wait_until_finished()
-    mgr.close()
+    _save_legacy(tmp_path, state, ("g_ema_params", "lecam_ema"))
 
     restored = ckpt.restore_latest(str(tmp_path), state)
     assert restored is not None
     for a, b in zip(jax.tree.leaves(restored.g_params),
                     jax.tree.leaves(restored.g_ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(restored.lecam_ema["real"]) == 0.0
+    assert float(restored.lecam_ema["fake"]) == 0.0
     # Restored state trains (no aliased-donation crash).
+    s2, _ = train_step_fused(cfg, restored)
+    assert int(s2.step) == 1
+
+
+def test_legacy_checkpoint_without_lecam_restores(tmp_path):
+    """Mid-round-3 checkpoints (g_ema_params present, lecam_ema missing)
+    restore with fresh zero trackers and keep the stored EMA params."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(tmp_path)
+    state = create_train_state(cfg)
+    # Make the EMA leg distinguishable from g_params to prove the stored
+    # value (not a reseed) is what comes back.
+    state = state.replace(g_ema_params=jax.tree.map(
+        lambda p: p + jnp.float32(1.0), state.g_params))
+    _save_legacy(tmp_path, state, ("lecam_ema",))
+
+    template = create_train_state(cfg)
+    restored = ckpt.restore_latest(str(tmp_path), template)
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(state.g_ema_params),
+                    jax.tree.leaves(restored.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(restored.lecam_ema["real"]) == 0.0
     s2, _ = train_step_fused(cfg, restored)
     assert int(s2.step) == 1

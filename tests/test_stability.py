@@ -124,7 +124,7 @@ def test_stabilisers_off_keep_default_program_rng():
     s1 = create_train_state(cfg)
     _, m1 = train_chunk(cfg, s1, 3)
     cfg2 = _tiny("goalcond", diffaug="", topk_g_fraction=0.0,
-                 d_spectral_norm=False)
+                 d_spectral_norm=False, lecam_weight=0.0)
     s2 = create_train_state(cfg2)
     _, m2 = train_chunk(cfg2, s2, 3)
     np.testing.assert_array_equal(np.asarray(m1["g_total"]),
@@ -170,3 +170,56 @@ def test_div_floor_penalises_uniform_collapse():
     spread = jax.random.normal(key, (2, 4, 16))
     assert mpd(spread) > 0.3          # healthy: hinge inactive
     assert mpd(1e-4 * spread) < 0.3   # collapsed: hinge active
+
+
+def test_lecam_anchors_and_tracker_update():
+    """LeCam regularization (config.py lecam_weight): at step 0 the
+    bias-corrected anchors are zero, so the penalty is exactly
+    mean(real_logits^2) + mean(fake_logits^2); after the step the
+    trackers hold (1-decay) * the batch mean logits (EMA from zero).
+    Hand-recomputed against the step's own RNG/forward path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.data.tasks import make_task
+    from ndivplanning_tpu.train.state import build_models
+    from ndivplanning_tpu.train.step import train_step
+
+    cfg = _tiny("goalcond", lecam_weight=0.1, lecam_decay=0.9)
+    state = create_train_state(cfg)
+    task = make_task(cfg)
+    batch = task.sample(jax.random.PRNGKey(42), cfg.batch_size)
+
+    # Replicate the step's D view BEFORE calling the donating step:
+    # rng -> (rng, k_z), z ~ N, fakes from the pre-update G.
+    gen, disc = build_models(cfg)
+    _, k_z = jax.random.split(state.rng)
+    z = jax.random.normal(k_z, (cfg.batch_size, cfg.k, cfg.latent_dim),
+                          jnp.float32)
+    tau_fake = gen.apply(state.g_params, batch.conditions, z)
+    real_logits = disc.apply(state.d_params, batch.conditions,
+                             batch.real_traj)
+    fake_logits = disc.apply(state.d_params, batch.conditions, tau_fake)
+    expected_pen = float(jnp.mean(jnp.square(real_logits))
+                         + jnp.mean(jnp.square(fake_logits)))
+    mean_real = float(jnp.mean(real_logits))
+    mean_fake = float(jnp.mean(fake_logits))
+
+    new_state, metrics = train_step(cfg, state, batch)
+    np.testing.assert_allclose(float(metrics["d_lecam"]), expected_pen,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(new_state.lecam_ema["real"]),
+                               (1 - 0.9) * mean_real, rtol=1e-5)
+    np.testing.assert_allclose(float(new_state.lecam_ema["fake"]),
+                               (1 - 0.9) * mean_fake, rtol=1e-5)
+
+
+def test_lecam_trains_stably_and_chunk_carries_trackers():
+    cfg = _tiny(lecam_weight=0.3)
+    state = create_train_state(cfg)
+    state, metrics = train_chunk(cfg, state, 5)
+    assert np.all(np.isfinite(np.asarray(metrics["d_lecam"])))
+    assert np.all(np.isfinite(np.asarray(metrics["g_total"])))
+    # Trackers moved off the zero init and stayed finite.
+    assert float(np.abs(np.asarray(state.lecam_ema["real"]))) > 0
+    assert np.isfinite(float(state.lecam_ema["fake"]))
