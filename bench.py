@@ -326,10 +326,53 @@ def _mfu_details(tpu: dict, probe: dict) -> dict:
     return out
 
 
+def _wait_for_healthy_backend(max_wait_s: float = 1800.0) -> None:
+    """Block until a tiny device program runs end-to-end, up to a budget.
+
+    The axon TPU worker can crash and take 10+ minutes (measured: over
+    an hour once) to come back; a client starting during recovery fails
+    at backend init with UNAVAILABLE, and one started just before the
+    crash can HANG in a dispatch.  Probing in a SUBPROCESS with a hard
+    timeout covers both failure shapes without risking this process.
+    On budget exhaustion we proceed anyway and let the real run fail
+    loudly.  Set BENCH_NO_HEALTH_WAIT=1 to skip (e.g. CPU-only runs).
+    """
+    import subprocess
+    import sys
+
+    probe_src = ("import jax, numpy as np\n"
+                 "x = jax.numpy.ones((8, 8))\n"
+                 "np.asarray(jax.jit(lambda a: (a @ a).sum())(x))\n")
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=240, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] backend healthy after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("[bench] backend still unhealthy at the wait budget; "
+                  "proceeding (the run will fail loudly)",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"[bench] backend unhealthy (probe {attempt}); sleeping 60s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 if __name__ == "__main__":
     import os
     import sys
 
+    if not os.environ.get("BENCH_NO_HEALTH_WAIT"):
+        _wait_for_healthy_backend()
     try:
         if "--flops-probe" in sys.argv:
             flops_probe()
@@ -337,9 +380,12 @@ if __name__ == "__main__":
             main()
     except Exception as e:  # noqa: BLE001
         # The axon tunnel transiently fails with "TPU backend error
-        # (FailedPrecondition)" (CLAUDE.md); the fix is a fresh process.
-        # Retry ONCE by re-exec so a blip doesn't cost the bench run.
-        if ("FailedPrecondition" in str(e)
+        # (FailedPrecondition)" and "UNAVAILABLE: TPU worker process
+        # crashed or restarted" (CLAUDE.md); the fix is a fresh process
+        # once the worker is back.  Retry ONCE by re-exec (the health
+        # wait above then gates the restart) so a blip doesn't cost the
+        # bench run.
+        if (("FailedPrecondition" in str(e) or "UNAVAILABLE" in str(e))
                 and not os.environ.get("_BENCH_RETRIED")):
             print(f"[bench] transient backend error, retrying once: {e}",
                   file=sys.stderr, flush=True)
