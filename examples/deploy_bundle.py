@@ -79,6 +79,18 @@ def main() -> None:
           f"{np.round(curve, 3).tolist()}")
     assert np.all(curve[:, 1:] <= curve[:, :-1] + 1e-6)
 
+    # ---- closed-loop MPC artifact: replan-execute episodes ----------
+    mpc = jexport.deserialize(
+        open(os.path.join(out, "mpc_controller.stablehlo"),
+             "rb").read()).call
+    positions, reached, collided = mpc(
+        conditions, start, goal, obstacles, mask, seeds)
+    positions = np.asarray(positions)
+    print(f"MPC closed loop: paths {positions.shape}, reached "
+          f"{np.asarray(reached).tolist()}, collided "
+          f"{np.asarray(collided).tolist()}")
+    assert positions.shape[0] == b
+
 
 if __name__ == "__main__":
     main()

@@ -20,6 +20,11 @@ Artifact layout (``export_bundle``):
                                     best_curve[b, cem_iters] (the CEM
                                     latent-refinement planner, the
                                     measured-best planning mode)
+    <out_dir>/mpc_controller.stablehlo
+                                    same scene signature -> (positions[b,T,S],
+                                    reached[b], collided[b]) — the CLOSED-LOOP
+                                    receding-horizon controller (replan-every-
+                                    r-steps episode as one scanned program)
     <out_dir>/manifest.json         config + entry signatures
 
 The planner artifact contains the WHOLE sim-in-the-loop pipeline —
@@ -41,6 +46,7 @@ from ndivplanning_tpu.utils.config import Config
 GENERATOR_FILE = "generator.stablehlo"
 PLANNER_FILE = "planner.stablehlo"
 CEM_PLANNER_FILE = "cem_planner.stablehlo"
+MPC_CONTROLLER_FILE = "mpc_controller.stablehlo"
 MANIFEST_FILE = "manifest.json"
 
 _PLATFORMS = ("cpu", "tpu")
@@ -170,9 +176,60 @@ def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
     return exp.serialize()
 
 
+def export_mpc_controller(cfg: Config, state, total_steps: int = 64,
+                          replan_every: int = 8,
+                          n_candidates: int = 256) -> bytes:
+    """Serialize the closed-loop MPC controller (planning/mpc.py
+    ``mpc_rollout_batch`` — the measured-best execution mode: closed-loop
+    success 1.00 vs 0.95 open-loop, BASELINE.md) as one StableHLO
+    program: a ``lax.scan`` over replanning cycles, each cycle =
+    generate candidates from the LIVE state -> score -> execute the next
+    ``replan_every`` waypoints, vmapped over scenes.
+
+    Same raw-array scene signature as the planner artifacts; returns
+    ``(positions[b, total_steps, S], reached[b], collided[b])``.  The
+    cycle parameters are baked in (they are static under jit for the
+    live path too) and recorded in the bundle manifest.
+    """
+    from ndivplanning_tpu.envs.rollout import ScoreWeights
+    from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
+    from ndivplanning_tpu.planning.mpc import _episode_fused
+
+    state = jax.device_get(state)
+    weights = ScoreWeights()
+
+    def run_arrays(conditions, start, goal, obstacles, obstacle_mask,
+                   seeds):
+        def one(cond, s, g, obs, mask, seed):
+            scene = Scene(start=s, goal=g, obstacles=obs,
+                          obstacle_mask=mask)
+            key = jax.random.PRNGKey(seed)
+            r = _episode_fused(cfg, state, scene, cond, key, total_steps,
+                               replan_every, n_candidates, weights)
+            return r.positions, r.reached, r.collided
+
+        return jax.vmap(one)(conditions, start, goal, obstacles,
+                             obstacle_mask, seeds)
+
+    (b,) = jax.export.symbolic_shape("b")
+    f32 = jnp.float32
+    exp = jax.export.export(jax.jit(run_arrays), platforms=_PLATFORMS)(
+        _condition_struct(cfg, b),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES, 3), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    return exp.serialize()
+
+
 def export_bundle(cfg: Config, state, out_dir: str,
                   n_candidates: int | None = None,
-                  n_diverse: int = 8) -> dict:
+                  n_diverse: int = 8,
+                  mpc_total_steps: int = 64,
+                  mpc_replan_every: int = 8,
+                  mpc_candidates: int = 256) -> dict:
     """Write generator + planner artifacts and a manifest to ``out_dir``.
 
     Returns the manifest dict (artifact names, sizes, config).
@@ -185,12 +242,18 @@ def export_bundle(cfg: Config, state, out_dir: str,
                                n_diverse=n_diverse)
     cem_blob = export_cem_planner(cfg, state, n_candidates=n_candidates,
                                   n_diverse=n_diverse)
+    mpc_blob = export_mpc_controller(cfg, state,
+                                     total_steps=mpc_total_steps,
+                                     replan_every=mpc_replan_every,
+                                     n_candidates=mpc_candidates)
     with open(os.path.join(out_dir, GENERATOR_FILE), "wb") as f:
         f.write(gen_blob)
     with open(os.path.join(out_dir, PLANNER_FILE), "wb") as f:
         f.write(plan_blob)
     with open(os.path.join(out_dir, CEM_PLANNER_FILE), "wb") as f:
         f.write(cem_blob)
+    with open(os.path.join(out_dir, MPC_CONTROLLER_FILE), "wb") as f:
+        f.write(mpc_blob)
     manifest = {
         "config": dataclasses.asdict(cfg),
         "step": int(jax.device_get(state.step)),
@@ -221,6 +284,16 @@ def export_bundle(cfg: Config, state, out_dir: str,
             "signature": "(conditions, start, goal, obstacles, "
                          "obstacle_mask, seeds) -> (best_traj, best_score,"
                          " best_reached, diverse_trajs, best_curve)",
+        },
+        "mpc_controller": {
+            "file": MPC_CONTROLLER_FILE,
+            "bytes": len(mpc_blob),
+            "total_steps": mpc_total_steps,
+            "replan_every": mpc_replan_every,
+            "n_candidates": mpc_candidates,
+            "signature": "(conditions, start, goal, obstacles, "
+                         "obstacle_mask, seeds) -> (positions[b,T,S], "
+                         "reached[b], collided[b])",
         },
     }
     with open(os.path.join(out_dir, MANIFEST_FILE), "w",

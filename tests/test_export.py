@@ -163,3 +163,46 @@ def test_generator_export_transformer_family(tmp_path):
         got = g(cond, z)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=2e-6, atol=2e-7)
+
+
+def test_mpc_export_matches_live_rollout_batch(tmp_path):
+    """mpc_controller.stablehlo == live mpc_rollout_batch across batch
+    sizes (the closed-loop controller — the measured-best execution
+    mode — must be deployable like the planners)."""
+    from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
+    from ndivplanning_tpu.utils.export import MPC_CONTROLLER_FILE
+
+    cfg = _small()
+    state = create_train_state(cfg)
+    export_bundle(cfg, state, str(tmp_path), mpc_total_steps=16,
+                  mpc_replan_every=4, mpc_candidates=8)
+    m = load_exported(str(tmp_path / MPC_CONTROLLER_FILE))
+
+    for batch, seed0 in [(2, 3), (1, 11)]:  # symbolic batch dim
+        scenes = [random_scene(jax.random.PRNGKey(seed0 + i))
+                  for i in range(batch)]
+        conds = jnp.stack([_condition_for(cfg, s) for s in scenes])
+        start = jnp.stack([s.start for s in scenes])
+        goal = jnp.stack([s.goal for s in scenes])
+        obs = jnp.stack([s.obstacles for s in scenes])
+        mask = jnp.stack([s.obstacle_mask for s in scenes])
+        seeds = jnp.arange(seed0, seed0 + batch, dtype=jnp.int32)
+
+        positions, reached, collided = m(conds, start, goal, obs, mask,
+                                         seeds)
+        assert positions.shape == (batch, 16, 2)
+        assert reached.shape == (batch,)
+
+        from ndivplanning_tpu.envs.types import Scene
+        scene_b = Scene(start=start, goal=goal, obstacles=obs,
+                        obstacle_mask=mask)
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        want = mpc_rollout_batch(cfg, state, scene_b, conds, keys,
+                                 total_steps=16, replan_every=4,
+                                 n_candidates=8)
+        np.testing.assert_allclose(np.asarray(want.positions),
+                                   np.asarray(positions), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(want.reached),
+                                      np.asarray(reached))
+        np.testing.assert_array_equal(np.asarray(want.collided),
+                                      np.asarray(collided))
