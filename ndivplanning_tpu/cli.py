@@ -185,6 +185,15 @@ def main(argv=None) -> int:
                                 "recorded .npz dataset (record-data) "
                                 "instead of the frozen suite; uses the "
                                 "first --suite-size examples")
+            p.add_argument("--mpc", action="store_true",
+                           help="CLOSED-LOOP quality: run every frozen-"
+                                "suite scene as a receding-horizon MPC "
+                                "episode (fixed per-scene keys — "
+                                "run-to-run comparable like the open-"
+                                "loop suite numbers)")
+            p.add_argument("--mpc-steps", type=int, default=64)
+            p.add_argument("--mpc-replan", type=int, default=8)
+            p.add_argument("--mpc-candidates", type=int, default=256)
         if name in ("plan", "serve"):
             p.add_argument("--refine", choices=("none", "cem", "grad"),
                            default="none",
@@ -297,6 +306,15 @@ def main(argv=None) -> int:
 
     if args.cmd == "eval":
         state = _load_state(cfg)
+        if args.mpc:
+            from ndivplanning_tpu.train.evaluate import evaluate_fixed_mpc
+
+            out = evaluate_fixed_mpc(cfg, state, n_scenes=args.suite_size,
+                                     total_steps=args.mpc_steps,
+                                     replan_every=args.mpc_replan,
+                                     n_candidates=args.mpc_candidates)
+            print(json.dumps(out))
+            return 0
         if args.dataset:
             # Honest held-out eval against a RECORDED dataset's true
             # scenes (the same evaluate_on_batch leg train_from_dataset

@@ -110,6 +110,40 @@ def evaluate_fixed(cfg: Config, state: TrainState,
                              suite, use_ema=use_ema)
 
 
+def evaluate_fixed_mpc(cfg: Config, state: TrainState,
+                       n_scenes: int = EVAL_SUITE_SIZE,
+                       seed: int = EVAL_SUITE_SEED,
+                       total_steps: int = 64, replan_every: int = 8,
+                       n_candidates: int = 256):
+    """CLOSED-LOOP quality on the frozen suite: every suite scene is run
+    as a receding-horizon MPC episode (`planning/mpc.py::
+    mpc_rollout_batch` — replan from the live state every
+    ``replan_every`` steps), with fixed per-scene keys, so closed-loop
+    success/collision are run-to-run comparable exactly like the
+    open-loop :func:`evaluate_fixed` numbers.
+
+    One vmapped dispatch for the whole suite.  Returns
+    ``eval_mpc_success_rate`` / ``eval_mpc_collision_rate`` plus the
+    episode parameters (so a metrics row is self-describing).
+    """
+    from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
+
+    suite = make_eval_suite(cfg, n_scenes, seed)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 2), n_scenes)
+    result = mpc_rollout_batch(cfg, state, suite.scenes, suite.conditions,
+                               keys, total_steps=total_steps,
+                               replan_every=replan_every,
+                               n_candidates=n_candidates)
+    reached, collided = jax.device_get((result.reached, result.collided))
+    return {
+        "eval_mpc_success_rate": float(jnp.mean(jnp.asarray(reached))),
+        "eval_mpc_collision_rate": float(jnp.mean(jnp.asarray(collided))),
+        "eval_mpc_total_steps": float(total_steps),
+        "eval_mpc_replan_every": float(replan_every),
+        "eval_mpc_candidates": float(n_candidates),
+    }
+
+
 def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch,
                    use_ema: bool = True):
     eval_batch = batch.real_traj.shape[0]

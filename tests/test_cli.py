@@ -109,3 +109,17 @@ def test_eval_dataset(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "eval_success_rate" in out and "eval_collision_rate" in out
+
+
+def test_eval_mpc_closed_loop_suite(tmp_path, capsys):
+    """`eval --mpc` reports frozen-suite closed-loop quality."""
+    rc = main(["eval", "--preset", "pointmass2d", "--batch-size", "8",
+               "--k", "4", "--workdir", str(tmp_path),
+               "--suite-size", "4", "--mpc", "--mpc-steps", "8",
+               "--mpc-replan", "4", "--mpc-candidates", "8",
+               "--set", "g_hidden=32", "--set", "d_hidden=32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "eval_mpc_success_rate" in out
+    assert 0.0 <= out["eval_mpc_success_rate"] <= 1.0
+    assert out["eval_mpc_replan_every"] == 4.0

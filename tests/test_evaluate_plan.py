@@ -152,3 +152,21 @@ def test_eval_suite_cache_shared_across_irrelevant_fields():
     cfg_c = get_config("goalcond", workdir="/tmp/a", horizon=cfg_a.horizon + 1)
     suite_c = make_eval_suite(cfg_c, n_scenes=32)
     assert suite_c.real_traj.shape != suite_a.real_traj.shape
+
+
+def test_fixed_mpc_eval_reproducible_and_suite_scale():
+    """Closed-loop frozen-suite eval (evaluate_fixed_mpc): fixed
+    per-scene keys make it digit-reproducible like the open-loop suite,
+    and the rates are valid fractions over the whole suite."""
+    from ndivplanning_tpu.train.evaluate import evaluate_fixed_mpc
+
+    cfg = _cfg("goalcond")
+    state = create_train_state(cfg)
+    out1 = evaluate_fixed_mpc(cfg, state, n_scenes=8, total_steps=8,
+                              replan_every=4, n_candidates=8)
+    out2 = evaluate_fixed_mpc(cfg, state, n_scenes=8, total_steps=8,
+                              replan_every=4, n_candidates=8)
+    assert out1 == out2
+    assert 0.0 <= out1["eval_mpc_success_rate"] <= 1.0
+    assert 0.0 <= out1["eval_mpc_collision_rate"] <= 1.0
+    assert out1["eval_mpc_total_steps"] == 8.0
