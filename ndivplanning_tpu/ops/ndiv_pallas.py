@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,8 +63,11 @@ _SUBLANE = 8  # float32 sublane granularity
 # bwd plan their tiles independently — fwd takes the 2048-row tile the
 # backward cannot afford (round-3; each path re-packs from the raw
 # (z, x) residuals, so the layouts need not agree).
-_BLOCK_ROW_TILE_TARGET = 1024
-_BLOCK_ROW_TILE_TARGET_FWD = 2048
+# Env-overridable (read at import) for on-chip tile sweeps
+# (benchmarks/ndiv_tile_sweep.py) — the defaults are the measured optima.
+_BLOCK_ROW_TILE_TARGET = int(os.environ.get("NDIV_BWD_ROW_TILE", "1024"))
+_BLOCK_ROW_TILE_TARGET_FWD = int(os.environ.get("NDIV_FWD_ROW_TILE",
+                                                "2048"))
 
 
 def _round_up(n: int, m: int) -> int:
