@@ -1,0 +1,44 @@
+#!/bin/bash
+# Post-soak follow-ups, chained behind the master soak queue (WAIT_PID):
+#   1. NDiv backward row-tile sweep (1280/1536/1792 were never measured;
+#      each candidate isolated in a subprocess — a Mosaic VMEM compile
+#      failure is a recorded data point, not an abort).
+#   2. Suite-scale CLOSED-LOOP quality of the shipped planning512
+#      checkpoint (eval --mpc: every frozen-suite scene as a receding-
+#      horizon episode, digit-reproducible) -> mpc_suite_results.json.
+cd "$(dirname "$0")/.."
+set -u
+
+if [[ -n "${WAIT_PID:-}" ]]; then
+  echo "[followup] waiting for pid $WAIT_PID to exit" >&2
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
+fi
+
+wait_healthy() {
+  local n=0
+  while true; do
+    if timeout 180 python -c '
+import jax, numpy as np
+x = jax.numpy.ones((8, 8))
+print(float(np.asarray(jax.jit(lambda a: (a @ a).sum())(x))))
+' >/dev/null 2>&1; then return 0; fi
+    n=$((n + 1))
+    echo "[followup] chip unhealthy (probe $n), sleeping 120s" >&2
+    sleep 120
+  done
+}
+
+echo "=== NDiv backward tile sweep ==="
+wait_healthy
+timeout 7200 python benchmarks/ndiv_tile_sweep.py \
+  || echo "[followup] tile sweep failed" >&2
+
+echo "=== closed-loop suite quality: planning512 ==="
+wait_healthy
+timeout 3600 python -m ndivplanning_tpu.cli eval \
+  --workdir checkpoints/planning512 --mpc \
+  > benchmarks/mpc_suite_results.json \
+  && cat benchmarks/mpc_suite_results.json \
+  || echo "[followup] eval --mpc failed" >&2
+
+echo "=== follow-up queue done ==="
