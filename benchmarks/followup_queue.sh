@@ -5,7 +5,9 @@
 #      failure is a recorded data point, not an abort).
 #   2. Suite-scale CLOSED-LOOP quality of the shipped planning512
 #      checkpoint (eval --mpc: every frozen-suite scene as a receding-
-#      horizon episode, digit-reproducible) -> mpc_suite_results.json.
+#      horizon episode, digit-reproducible) -> mpc_suite_results.json
+#      (written via temp+mv so a failed attempt cannot clobber a good
+#      artifact with an empty file).
 cd "$(dirname "$0")/.."
 set -u
 
@@ -14,19 +16,8 @@ if [[ -n "${WAIT_PID:-}" ]]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
 
-wait_healthy() {
-  local n=0
-  while true; do
-    if timeout 180 python -c '
-import jax, numpy as np
-x = jax.numpy.ones((8, 8))
-print(float(np.asarray(jax.jit(lambda a: (a @ a).sum())(x))))
-' >/dev/null 2>&1; then return 0; fi
-    n=$((n + 1))
-    echo "[followup] chip unhealthy (probe $n), sleeping 120s" >&2
-    sleep 120
-  done
-}
+HEALTH_TAG=followup
+source benchmarks/wait_healthy.sh
 
 echo "=== NDiv backward tile sweep ==="
 wait_healthy
@@ -35,10 +26,14 @@ timeout 7200 python benchmarks/ndiv_tile_sweep.py \
 
 echo "=== closed-loop suite quality: planning512 ==="
 wait_healthy
-timeout 3600 python -m ndivplanning_tpu.cli eval \
-  --workdir checkpoints/planning512 --mpc \
-  > benchmarks/mpc_suite_results.json \
-  && cat benchmarks/mpc_suite_results.json \
-  || echo "[followup] eval --mpc failed" >&2
+if timeout 3600 python -m ndivplanning_tpu.cli eval \
+     --workdir checkpoints/planning512 --mpc \
+     > benchmarks/.mpc_suite_results.tmp; then
+  mv benchmarks/.mpc_suite_results.tmp benchmarks/mpc_suite_results.json
+  cat benchmarks/mpc_suite_results.json
+else
+  rm -f benchmarks/.mpc_suite_results.tmp
+  echo "[followup] eval --mpc failed" >&2
+fi
 
 echo "=== follow-up queue done ==="

@@ -18,22 +18,8 @@ cd "$(dirname "$0")/.."
 set -u
 export CONVERGENCE_CHUNK_CAP=${CONVERGENCE_CHUNK_CAP:-1250}
 
-wait_healthy() {
-  local n=0
-  while true; do
-    if timeout 180 python -c '
-import jax, numpy as np
-x = jax.numpy.ones((8, 8))
-print(float(np.asarray(jax.jit(lambda a: (a @ a).sum())(x))))
-' >/dev/null 2>&1; then
-      echo "[queue] chip healthy" >&2
-      return 0
-    fi
-    n=$((n + 1))
-    echo "[queue] chip unhealthy (probe $n), sleeping 120s" >&2
-    sleep 120
-  done
-}
+HEALTH_TAG=queue
+source benchmarks/wait_healthy.sh
 
 run() {  # run OUTFILE PRESET_SPECS...
   out=$1; shift

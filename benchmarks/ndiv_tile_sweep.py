@@ -27,7 +27,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 _CHILD_SRC = r"""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath({here!r})))
+sys.path.insert(0, {root!r})
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,7 +74,7 @@ print("SWEEPRESULT " + json.dumps(
 def main() -> None:
     tiles = [int(t) for t in sys.argv[1:]] or [1024, 1280, 1536, 1792,
                                                2048]
-    child = _CHILD_SRC.format(here=os.path.join(HERE, "x"))
+    child = _CHILD_SRC.format(root=os.path.dirname(HERE))
     results = []
     for tile in tiles:
         env = dict(os.environ, NDIV_BWD_ROW_TILE=str(tile))

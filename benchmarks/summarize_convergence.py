@@ -76,7 +76,10 @@ def main() -> None:
     for p in paths:
         try:
             s = summarize_file(p)
-        except (json.JSONDecodeError, KeyError) as e:
+        except (json.JSONDecodeError, KeyError, ValueError,
+                ZeroDivisionError, TypeError) as e:
+            # A degenerate file (empty run list / empty curve / schema
+            # drift) skips THAT study, never the whole summary.
             print(f"[skip] {p}: {e}", file=sys.stderr)
             continue
         summaries.append(s)

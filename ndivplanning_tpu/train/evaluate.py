@@ -114,7 +114,8 @@ def evaluate_fixed_mpc(cfg: Config, state: TrainState,
                        n_scenes: int = EVAL_SUITE_SIZE,
                        seed: int = EVAL_SUITE_SEED,
                        total_steps: int = 64, replan_every: int = 8,
-                       n_candidates: int = 256):
+                       n_candidates: int = 256,
+                       scene_chunk: int = 128):
     """CLOSED-LOOP quality on the frozen suite: every suite scene is run
     as a receding-horizon MPC episode (`planning/mpc.py::
     mpc_rollout_batch` — replan from the live state every
@@ -122,7 +123,13 @@ def evaluate_fixed_mpc(cfg: Config, state: TrainState,
     success/collision are run-to-run comparable exactly like the
     open-loop :func:`evaluate_fixed` numbers.
 
-    One vmapped dispatch for the whole suite.  Returns
+    The suite is dispatched in ``scene_chunk``-episode batches: a single
+    device execution much past ~1 minute crashes the axon TPU worker
+    (CLAUDE.md round 3), and 512 episodes x candidates x rollouts in one
+    vmapped program could cross that at large episode parameters.  The
+    chunk size is part of the frozen protocol (per-scene keys are fixed
+    regardless, but different batch shapes are different XLA programs —
+    expect 1-ulp-class drift only, as everywhere).  Returns
     ``eval_mpc_success_rate`` / ``eval_mpc_collision_rate`` plus the
     episode parameters (so a metrics row is self-describing).
     """
@@ -130,14 +137,26 @@ def evaluate_fixed_mpc(cfg: Config, state: TrainState,
 
     suite = make_eval_suite(cfg, n_scenes, seed)
     keys = jax.random.split(jax.random.PRNGKey(seed + 2), n_scenes)
-    result = mpc_rollout_batch(cfg, state, suite.scenes, suite.conditions,
-                               keys, total_steps=total_steps,
-                               replan_every=replan_every,
-                               n_candidates=n_candidates)
-    reached, collided = jax.device_get((result.reached, result.collided))
+    reached_parts, collided_parts = [], []
+    for lo in range(0, n_scenes, scene_chunk):
+        hi = min(lo + scene_chunk, n_scenes)
+        sl = slice(lo, hi)
+        result = mpc_rollout_batch(
+            cfg, state,
+            jax.tree.map(lambda a: a[sl], suite.scenes),
+            suite.conditions[sl], keys[sl],
+            total_steps=total_steps, replan_every=replan_every,
+            n_candidates=n_candidates)
+        r, c = jax.device_get((result.reached, result.collided))
+        reached_parts.append(r)
+        collided_parts.append(c)
+    import numpy as np
+
+    reached = np.concatenate(reached_parts)
+    collided = np.concatenate(collided_parts)
     return {
-        "eval_mpc_success_rate": float(jnp.mean(jnp.asarray(reached))),
-        "eval_mpc_collision_rate": float(jnp.mean(jnp.asarray(collided))),
+        "eval_mpc_success_rate": float(np.mean(reached)),
+        "eval_mpc_collision_rate": float(np.mean(collided)),
         "eval_mpc_total_steps": float(total_steps),
         "eval_mpc_replan_every": float(replan_every),
         "eval_mpc_candidates": float(n_candidates),

@@ -115,6 +115,17 @@ class TrainState:
     lecam_ema: dict
 
 
+def fresh_lecam_ema() -> dict:
+    """Zero-initialised LeCam logit trackers (config.py lecam_weight).
+
+    The single source of the tracker schema: used by
+    :func:`create_train_state` AND the legacy-checkpoint migration
+    (utils/checkpoint.py), so a schema change cannot desync them.
+    """
+    return {"real": jnp.zeros((), jnp.float32),
+            "fake": jnp.zeros((), jnp.float32)}
+
+
 def gen_params(cfg: Config, state: TrainState):
     """The generator params eval/planning should use: the EMA weights
     when the config tracks them, the live weights otherwise.
@@ -194,8 +205,7 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
         # Distinct buffers, not an alias: the fused step donates the
         # whole state, and XLA rejects donating one buffer twice.
         g_ema_params=jax.tree.map(jnp.copy, g_params),
-        lecam_ema={"real": jnp.zeros((), jnp.float32),
-                   "fake": jnp.zeros((), jnp.float32)},
+        lecam_ema=fresh_lecam_ema(),
     )
 
 

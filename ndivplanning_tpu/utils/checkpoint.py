@@ -92,13 +92,14 @@ def _restore_legacy(mgr, step: int, state_template):
     import jax
     import jax.numpy as jnp
 
+    from ndivplanning_tpu.train.state import fresh_lecam_ema
+
     def _template_without(missing):
         return {f.name: getattr(state_template, f.name)
                 for f in dataclasses.fields(state_template)
                 if f.name not in missing}
 
-    fresh_lecam = {"real": jnp.zeros((), jnp.float32),
-                   "fake": jnp.zeros((), jnp.float32)}
+    fresh_lecam = fresh_lecam_ema()
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(
             _template_without(("lecam_ema",))))
