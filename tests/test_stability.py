@@ -223,3 +223,36 @@ def test_lecam_trains_stably_and_chunk_carries_trackers():
     # Trackers moved off the zero init and stayed finite.
     assert float(np.abs(np.asarray(state.lecam_ema["real"]))) > 0
     assert np.isfinite(float(state.lecam_ema["fake"]))
+
+
+def test_lecam_bounds_the_real_fake_gap_when_d_overpowers():
+    """Mechanistic check of WHY LeCam exists: in a D-overpowered regime
+    (d_lr 50x g_lr — the late-soak failure mode in fast-forward), the
+    real-fake logit gap D opens must be strongly bounded by the
+    regulariser.  Measured on CPU (3 seeds): control gap 3.2/6.8/10.2 vs
+    LeCam-0.3 gap 0.42/0.04/0.00."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.data.tasks import make_task
+    from ndivplanning_tpu.train.state import build_models
+
+    def gap(lecam_w):
+        cfg = get_config("goalcond", batch_size=16, k=4, g_hidden=(32,),
+                         d_hidden=(64, 64), cond_embed_dim=8, steps=10000,
+                         d_lr=5e-3, g_lr=1e-4, lecam_weight=lecam_w,
+                         seed=0)
+        state = create_train_state(cfg)
+        state, _ = train_chunk(cfg, state, 800)
+        gen, disc = build_models(cfg)
+        batch = make_task(cfg).sample(jax.random.PRNGKey(999), 64)
+        z = jax.random.normal(jax.random.PRNGKey(1000),
+                              (64, cfg.k, cfg.latent_dim))
+        fake = gen.apply(state.g_params, batch.conditions, z)
+        rl = disc.apply(state.d_params, batch.conditions, batch.real_traj)
+        fl = disc.apply(state.d_params, batch.conditions, fake)
+        return float(jnp.mean(rl) - jnp.mean(fl))
+
+    control, lecam = gap(0.0), gap(0.3)
+    assert control > 1.0          # the pathology actually manifests
+    assert lecam < 0.5 * control  # and the regulariser bounds it
