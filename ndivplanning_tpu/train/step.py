@@ -174,6 +174,19 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     g_tx, d_tx = build_optimizers(cfg)
     d_loss_fn_of, g_loss_fn_of = get_gan_losses(cfg.gan_loss)
 
+    # Rematerialisation (config.py remat): checkpoint the model forwards
+    # used INSIDE the differentiated losses, so their activations are
+    # recomputed in the backward instead of held in HBM.  Wrapping here
+    # (not in the modules) keeps the policy per-step and the inference
+    # paths (eval/plan/serve) untouched.
+    def _maybe_ckpt(f):
+        return jax.checkpoint(f) if cfg.remat else f
+
+    gen_fwd = _maybe_ckpt(lambda p, c, zz: gen.apply(p, c, zz))
+    disc_fwd = _maybe_ckpt(lambda p, c, t: disc.apply(p, c, t))
+    disc_fwd_feats = _maybe_ckpt(
+        lambda p, c, t: disc.apply(p, c, t, return_features=True))
+
     rng, k_z = jax.random.split(state.rng)
     b = batch.real_traj.shape[0]
     z = jax.random.normal(k_z, (b, cfg.k, cfg.latent_dim), jnp.float32)
@@ -238,8 +251,8 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
                 corr, jnp.finfo(jnp.float32).tiny), 0.0)
 
     def d_loss(d_params):
-        real_logits = disc.apply(d_params, cond_real_d, real_for_d)
-        fake_logits = disc.apply(d_params, cond_fake_d, fake_for_d)
+        real_logits = disc_fwd(d_params, cond_real_d, real_for_d)
+        fake_logits = disc_fwd(d_params, cond_fake_d, fake_for_d)
         loss = d_loss_fn_of(real_logits, fake_logits)
         aux = {}
         if lc_w > 0:
@@ -261,7 +274,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
             # in the same compiled program).
             def real_score(traj):
                 return jnp.sum(
-                    disc.apply(d_params, cond_real_d, traj))
+                    disc_fwd(d_params, cond_real_d, traj))
 
             # Penalise at the (possibly noised) points D actually sees.
             g_traj = jax.grad(real_score)(real_for_d)  # [B, H, S]
@@ -298,7 +311,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     fm_w = cfg.feature_matching_weight
 
     def g_loss(g_params):
-        tau = gen.apply(g_params, batch.conditions, z)
+        tau = gen_fwd(g_params, batch.conditions, z)
         # Same instance-noise treatment in the G update: gradients flow
         # through the additive noise to tau unchanged.
         tau_d = noise_g(tau)
@@ -309,11 +322,10 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         else:
             cond_g = batch.conditions
         if fm_w > 0:
-            fake_logits, fake_feats = disc.apply(
-                d_params, cond_g, tau_d, return_features=True)
-            _, real_feats = disc.apply(
-                d_params, cond_real_d, real_for_d,
-                return_features=True)
+            fake_logits, fake_feats = disc_fwd_feats(
+                d_params, cond_g, tau_d)
+            _, real_feats = disc_fwd_feats(
+                d_params, cond_real_d, real_for_d)
             # Match first moments of D's last hidden features between
             # the real batch and the B*k fakes (Salimans et al. 2016).
             fake_mean = jnp.mean(
@@ -321,7 +333,7 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
             real_mean = jnp.mean(real_feats, axis=0)
             fm = jnp.mean(jnp.square(real_mean - fake_mean))
         else:
-            fake_logits = disc.apply(d_params, cond_g, tau_d)
+            fake_logits = disc_fwd(d_params, cond_g, tau_d)
             fm = jnp.asarray(0.0, jnp.float32)
         if cfg.topk_g_fraction > 0:
             # Top-k G update (Sinha et al. 2020): adversarial gradients

@@ -132,6 +132,15 @@ class Config:
     # cold-start anchor is the first batches' mean, not 0).  0 disables.
     lecam_weight: float = 0.0
     lecam_decay: float = 0.99
+    # Rematerialisation (jax.checkpoint) of the G/D forward passes inside
+    # the differentiated losses: activations are recomputed in the
+    # backward instead of stored, trading ~1/3 more FLOPs for a large cut
+    # in peak HBM.  Irrelevant at the contract model sizes (KB-MB, HBM
+    # headroom everywhere); the lever exists for scaled configs like the
+    # 4096-wide MFU workload (benchmarks/mfu_scaled_bench.py) where
+    # activations x batch 8192 approach the 16 GB v5e HBM.  Gradient
+    # parity with the non-remat step is test-pinned.
+    remat: bool = False
 
     # Optimization
     g_lr: float = 1e-3

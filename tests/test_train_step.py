@@ -232,3 +232,34 @@ def test_instance_noise_anneals_inside_the_program():
                        create_train_state(cfg), batch)
     assert "d_noise_sigma" not in m0
     assert abs(float(m["d_loss"]) - float(m0["d_loss"])) > 1e-6
+
+
+def test_remat_matches_plain_step():
+    """cfg.remat (jax.checkpoint on the in-loss model forwards) must not
+    change the math — same params and metrics after a step, to float
+    tolerance (recompute reassociates; CPU is typically bitwise)."""
+    import jax
+    import numpy as np
+
+    from ndivplanning_tpu.data.tasks import make_task
+
+    base = dict(batch_size=8, k=4, g_hidden=(32,), d_hidden=(32,),
+                cond_embed_dim=8, r1_weight=0.1,
+                feature_matching_weight=1.0)
+    cfg_a = get_config("goalcond", **base)
+    cfg_b = get_config("goalcond", remat=True, **base)
+    batch = make_task(cfg_a).sample(jax.random.PRNGKey(3),
+                                    cfg_a.batch_size)
+    sa, ma = train_step(cfg_a, create_train_state(cfg_a), batch)
+    sb, mb = train_step(cfg_b, create_train_state(cfg_b), batch)
+    for k in ma:
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    for a, b in zip(jax.tree.leaves(sa.g_params),
+                    jax.tree.leaves(sb.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(sa.d_params),
+                    jax.tree.leaves(sb.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
