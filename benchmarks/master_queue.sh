@@ -8,7 +8,9 @@
 # queue probes chip health with a tiny timeout-bounded program before
 # every attempt and waits until the probe passes.
 #
-# Remaining round-3 studies, in value order:
+# Remaining round-3 studies, novel science first (if the chip returns
+# late in the session, the LeCam and half-LR-control results are the
+# ones no prior analysis covers):
 #   1-2. the two capacity re-runs the crashed queue did not finish
 #   3-4. LeCam stabiliser at two weights on the cosine recipe
 #   5.   half-LR control at base width (is the g512_halflr win the LR?)
@@ -41,6 +43,22 @@ seeds() {  # seeds OUTFILE OVERRIDES_JSON_WITHOUT_CLOSING_BRACE S0 S1 S2
     "imagecond:${ov},\"seed\":$c}"
 }
 
+echo "=== LeCam 0.1 on cosine ==="
+seeds convergence_imagecond_lecam01_cosine.json \
+  '{"lecam_weight":0.1,"lr_schedule":"cosine","steps":150000' 0 1 2
+
+echo "=== control: base width at half LR ==="
+seeds convergence_imagecond_halflr.json \
+  '{"g_lr":0.0005,"lr_schedule":"cosine","steps":150000' 0 1 2
+
+echo "=== LeCam 0.3 on cosine ==="
+seeds convergence_imagecond_lecam03_cosine.json \
+  '{"lecam_weight":0.3,"lr_schedule":"cosine","steps":150000' 0 1 2
+
+echo "=== confirmation: G 512x2 half LR, seeds 3-5 ==="
+seeds convergence_imagecond_g512_halflr_s345.json \
+  '{"g_hidden":[512,512],"g_lr":0.0005,"lr_schedule":"cosine","steps":150000' 3 4 5
+
 echo "=== capacity: G 512x2 + D 512x2 (re-run) ==="
 seeds convergence_imagecond_g512_d512.json \
   '{"g_hidden":[512,512],"d_hidden":[512,512],"lr_schedule":"cosine","steps":150000' 0 1 2
@@ -48,21 +66,5 @@ seeds convergence_imagecond_g512_d512.json \
 echo "=== capacity: G 512x2 + wider encoder (re-run) ==="
 seeds convergence_imagecond_g512_enc.json \
   '{"g_hidden":[512,512],"encoder_features":[32,64,128],"lr_schedule":"cosine","steps":150000' 0 1 2
-
-echo "=== LeCam 0.1 on cosine ==="
-seeds convergence_imagecond_lecam01_cosine.json \
-  '{"lecam_weight":0.1,"lr_schedule":"cosine","steps":150000' 0 1 2
-
-echo "=== LeCam 0.3 on cosine ==="
-seeds convergence_imagecond_lecam03_cosine.json \
-  '{"lecam_weight":0.3,"lr_schedule":"cosine","steps":150000' 0 1 2
-
-echo "=== control: base width at half LR ==="
-seeds convergence_imagecond_halflr.json \
-  '{"g_lr":0.0005,"lr_schedule":"cosine","steps":150000' 0 1 2
-
-echo "=== confirmation: G 512x2 half LR, seeds 3-5 ==="
-seeds convergence_imagecond_g512_halflr_s345.json \
-  '{"g_hidden":[512,512],"g_lr":0.0005,"lr_schedule":"cosine","steps":150000' 3 4 5
 
 echo "=== master queue done ==="
