@@ -68,3 +68,13 @@ seeds convergence_imagecond_g512_enc.json \
   '{"g_hidden":[512,512],"encoder_features":[32,64,128],"lr_schedule":"cosine","steps":150000' 0 1 2
 
 echo "=== master queue done ==="
+
+# Analysis-ready table straight into the queue log (and the JSON lines
+# after it), so the landing session can read results without re-deriving.
+python benchmarks/summarize_convergence.py \
+  benchmarks/convergence_imagecond_lecam01_cosine.json \
+  benchmarks/convergence_imagecond_lecam03_cosine.json \
+  benchmarks/convergence_imagecond_halflr.json \
+  benchmarks/convergence_imagecond_g512_halflr_s345.json \
+  benchmarks/convergence_imagecond_g512_d512.json \
+  benchmarks/convergence_imagecond_g512_enc.json 2>&1 || true
