@@ -15,12 +15,15 @@ from ndivplanning_tpu.envs.rollout import (
     rollout_waypoints,
     score_candidates,
 )
+from ndivplanning_tpu.envs.reacher import ReacherParams, ReacherState
 from ndivplanning_tpu.envs.unicycle import UnicycleParams, UnicycleState
 
 __all__ = [
     "EnvAPI",
     "EnvParams",
     "EnvState",
+    "ReacherParams",
+    "ReacherState",
     "Scene",
     "StepInfo",
     "UnicycleParams",

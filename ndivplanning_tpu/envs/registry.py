@@ -41,4 +41,14 @@ def get_env(name: str) -> EnvAPI:
             step=unicycle.step,
             waypoint_control=unicycle.waypoint_control,
         )
-    raise ValueError(f"unknown env {name!r}; expected pointmass | unicycle")
+    if name == "reacher":
+        from ndivplanning_tpu.envs import reacher
+
+        return EnvAPI(
+            make_params=reacher.ReacherParams.create,
+            reset=reacher.reset,
+            step=reacher.step,
+            waypoint_control=reacher.waypoint_control,
+        )
+    raise ValueError(
+        f"unknown env {name!r}; expected pointmass | unicycle | reacher")

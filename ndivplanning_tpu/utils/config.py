@@ -27,7 +27,8 @@ class Config:
     conditioning: str = "none"  # none | startgoal | image
     # Environment family for rollouts/planning/eval (envs/registry.py):
     # "pointmass" (double integrator) | "unicycle" (Dubins-style pose +
-    # forward speed, actions = accel + steering rate).
+    # forward speed, actions = accel + steering rate) | "reacher"
+    # (two-link arm, joint-space state, IK reset, J^T waypoint control).
     env: str = "pointmass"
     image_size: int = 32
     horizon: int = 32

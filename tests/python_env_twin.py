@@ -63,6 +63,79 @@ class PyPointMassEnv:
         return self.pos.copy()
 
 
+class PyReacherEnv:
+    """Step-by-step two-link-arm twin (mirrors envs/reacher.py, written
+    with explicit Python control flow and plain NumPy)."""
+
+    def __init__(self, dt=0.1, l1=0.4, l2=0.4, base=(0.5, 0.5),
+                 max_accel=40.0, max_qd=4.0, goal_radius=0.05):
+        self.dt = dt
+        self.l1 = l1
+        self.l2 = l2
+        self.base = np.asarray(base, np.float32)
+        self.max_accel = max_accel
+        self.max_qd = max_qd
+        self.goal_radius = goal_radius
+
+    def _fk(self, q):
+        elbow = self.base + np.float32(self.l1) * np.asarray(
+            [math.cos(q[0]), math.sin(q[0])], np.float32)
+        ee = elbow + np.float32(self.l2) * np.asarray(
+            [math.cos(q[0] + q[1]), math.sin(q[0] + q[1])], np.float32)
+        return elbow, ee
+
+    def _segment_hits(self, p0, p1):
+        for o in self.obstacles:
+            d, c = p1 - p0, o[:2]
+            len2 = float(np.dot(d, d))
+            t = 0.0 if len2 < 1e-12 else float(np.dot(c - p0, d)) / len2
+            t = min(max(t, 0.0), 1.0)
+            closest = p0 + np.float32(t) * d
+            if float(np.sum((c - closest) ** 2)) < float(o[2] ** 2):
+                return True
+        return False
+
+    def reset(self, scene):
+        self.start = np.asarray(scene["start"], np.float32)
+        self.goal = np.asarray(scene["goal"], np.float32)
+        self.obstacles = [np.asarray(o, np.float32)
+                          for o in scene.get("obstacles", [])]
+        # two-link IK, elbow-up branch (matches reacher.inverse_kinematics)
+        rel = self.start - self.base
+        c2 = (float(np.dot(rel, rel)) - self.l1**2 - self.l2**2) / (
+            2.0 * self.l1 * self.l2)
+        c2 = min(max(c2, -1.0), 1.0 - 1e-7)
+        q2 = math.acos(c2)
+        q1 = math.atan2(float(rel[1]), float(rel[0])) - math.atan2(
+            self.l2 * math.sin(q2), self.l1 + self.l2 * c2)
+        self.q = np.asarray([q1, q2], np.float32)
+        self.qd = np.zeros(2, np.float32)
+        _, self.pos = self._fk(self.q)
+        self.t = 0
+        self.done = False
+        self.collided = False
+        return self.pos.copy()
+
+    def step(self, action):
+        if self.done:
+            return self.pos.copy()
+        a = np.clip(np.asarray(action, np.float32),
+                    -self.max_accel, self.max_accel)
+        qd = np.clip(self.qd + a * np.float32(self.dt),
+                     -self.max_qd, self.max_qd).astype(np.float32)
+        q = (self.q + qd * np.float32(self.dt)).astype(np.float32)
+        elbow, ee = self._fk(q)
+        if (self._segment_hits(self.pos, ee)
+                or self._segment_hits(self.base, elbow)
+                or self._segment_hits(elbow, ee)):
+            self.collided = True
+        if math.sqrt(float(np.sum((ee - self.goal) ** 2))) < self.goal_radius:
+            self.done = True
+        self.q, self.qd, self.pos = q, qd, ee
+        self.t += 1
+        return self.pos.copy()
+
+
 class PyUnicycleEnv:
     """Step-by-step unicycle twin (mirrors envs/unicycle.py, written with
     explicit Python control flow)."""
