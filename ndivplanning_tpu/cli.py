@@ -162,6 +162,21 @@ def _maybe_profiled(args, fn):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ndivplanning_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    doc = sub.add_parser(
+        "doctor",
+        help="environment diagnosis: versions, configured platforms, "
+             "native host plane, and a timeout-bounded backend probe "
+             "(safe while the TPU worker is down — never hangs)")
+    doc.add_argument("--no-probe", action="store_true",
+                     help="skip the subprocess backend probe (pure host "
+                          "introspection only)")
+    doc.add_argument("--probe-timeout", type=float, default=120.0,
+                     help="seconds before the backend probe is declared "
+                          "hung (the axon tunnel blocks in-process when "
+                          "the remote worker is down)")
+    doc.add_argument("--probe-cpu", action="store_true",
+                     help="probe the CPU backend instead of the default "
+                          "platform preference")
     for name in ("train", "eval", "plan", "serve", "viz", "record-data",
                  "export"):
         p = sub.add_parser(name)
@@ -253,6 +268,19 @@ def main(argv=None) -> int:
                            help="held-out fraction of --dataset used for "
                                 "honest eval (0 disables)")
     args = parser.parse_args(argv)
+
+    if args.cmd == "doctor":
+        from ndivplanning_tpu.utils.doctor import doctor_report
+
+        report = doctor_report(
+            probe=not args.no_probe,
+            probe_timeout_s=args.probe_timeout,
+            probe_platform="cpu" if args.probe_cpu else None)
+        print(json.dumps(report, indent=1))
+        # exit 0 when healthy (or probe skipped); 3 = backend unhealthy,
+        # distinct from 2 = bad usage elsewhere in this CLI.
+        return 0 if report.get("healthy", True) else 3
+
     cfg = _build_config(args)
 
     if args.debug_nans:
