@@ -206,3 +206,33 @@ def test_mpc_export_matches_live_rollout_batch(tmp_path):
                                       np.asarray(reached))
         np.testing.assert_array_equal(np.asarray(want.collided),
                                       np.asarray(collided))
+
+
+def test_planner_export_is_env_family_agnostic(tmp_path):
+    """The exported planner bakes the env dispatch into the StableHLO
+    program: a bundle built with env=unicycle or env=reacher must
+    reproduce the corresponding live plan exactly (the registry is a
+    jit-static branch, so each family is simply a different program)."""
+    import pytest
+
+    for env in ("unicycle", "reacher"):
+        cfg = _small(env=env)
+        state = create_train_state(cfg)
+        out = tmp_path / env
+        export_bundle(cfg, state, str(out), n_diverse=4)
+        p = load_exported(str(out / PLANNER_FILE))
+
+        scene = random_scene(jax.random.PRNGKey(3))
+        cond = _condition_for(cfg, scene)[None]
+        best_traj, best_score, best_reached, _ = p(
+            cond, scene.start[None], scene.goal[None],
+            scene.obstacles[None], scene.obstacle_mask[None],
+            jnp.asarray([11], jnp.int32))
+        want = plan(cfg, state, scene, cond[0], jax.random.PRNGKey(11),
+                    n_diverse=4, weights=ScoreWeights())
+        np.testing.assert_allclose(np.asarray(want.best_traj),
+                                   np.asarray(best_traj[0]), atol=1e-6,
+                                   err_msg=env)
+        np.testing.assert_allclose(float(want.best_score),
+                                   float(best_score[0]), atol=1e-6,
+                                   err_msg=env)
