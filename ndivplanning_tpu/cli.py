@@ -237,6 +237,13 @@ def main(argv=None) -> int:
             p.add_argument("--mpc-candidates", type=int, default=256,
                            help="candidate trajectories per replan")
         if name == "serve":
+            p.add_argument("--tcp", type=int, default=None, metavar="PORT",
+                           help="serve the JSON-lines protocol over TCP "
+                                "on this port (0 = ephemeral) instead of "
+                                "stdin/stdout; every connection shares "
+                                "the compiled per-bucket programs")
+            p.add_argument("--host", default="127.0.0.1",
+                           help="bind address for --tcp")
             p.add_argument("--no-overlap", action="store_true",
                            help="disable the writer-thread pipeline that "
                                 "overlaps JSON encode/write of batch N "
@@ -497,6 +504,25 @@ def main(argv=None) -> int:
                           mpc=args.warmup_mpc)
             print(f"[serve] warmup: all request buckets compiled in "
                   f"{secs:.1f} s", file=sys.stderr, flush=True)
+        if args.tcp is not None:
+            from ndivplanning_tpu.planning.server import serve_tcp
+
+            server = serve_tcp(cfg, state, host=args.host, port=args.tcp,
+                               refine=args.refine,
+                               overlap=not args.no_overlap)
+            host, port = server.server_address[:2]
+            # One parseable readiness line (stdout): clients/orchestrators
+            # wait for it instead of polling the port.
+            print(json.dumps({"listening": f"{host}:{port}"}), flush=True)
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                server.shutdown()
+                server.server_close()
+            print(json.dumps({"served": server.lines_served}))
+            return 0
         served = serve(cfg, state, refine=args.refine,
                        overlap=not args.no_overlap)
         print(json.dumps({"served": served}))

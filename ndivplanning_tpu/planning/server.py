@@ -521,6 +521,80 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     return n
 
 
+def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
+              port: int = 0, seed: int = 0, refine: str = "none",
+              overlap: bool = True, max_coalesce: int = BUCKETS[-1]):
+    """Network serving: the same JSON-lines protocol over TCP.
+
+    Returns a ``ThreadingTCPServer`` already bound (``port=0`` picks an
+    ephemeral port — read ``server.server_address``) but not yet
+    serving; the caller runs ``serve_forever()`` (the CLI does) or runs
+    it on a thread and calls ``shutdown()`` (tests do).
+
+    Each connection runs the SAME loop as stdin serving — per-connection
+    burst coalescing included, since :class:`_LineSource` reads raw fds
+    with ``select`` and a socket fd supports both — against the shared
+    ``state`` and jit cache, so every connection reuses the same
+    per-bucket compiled programs (compile once, serve many clients).
+    Concurrent connections interleave at dispatch granularity: JAX
+    serialises device dispatches, so cross-client batches never mix and
+    responses stay per-connection ordered.  Each connection derives its
+    own PRNG stream (``seed`` + connection counter).  A ``quit`` line
+    (or EOF) closes only that connection.
+    """
+    import itertools
+    import socketserver
+
+    conn_counter = itertools.count()
+
+    class _Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            conn_id = next(conn_counter)
+            server._handler_threads.add(threading.current_thread())
+            # Text views over the socket: _LineSource wants .fileno()
+            # (raw-fd select/read), the writer wants .write/.flush.
+            reader = self.connection.makefile("r", encoding="utf-8")
+            writer = self.connection.makefile("w", encoding="utf-8")
+            try:
+                n = serve(cfg, state, stdin=reader, stdout=writer,
+                          seed=seed + conn_id, refine=refine,
+                          overlap=overlap, max_coalesce=max_coalesce)
+                with server._lock:
+                    server.lines_served += n
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-response; nothing to answer
+            finally:
+                for f in (reader, writer):
+                    try:
+                        f.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                server._handler_threads.discard(threading.current_thread())
+
+    class _Server(socketserver.ThreadingTCPServer):
+        # Daemon handlers: a hung client must never block process exit.
+        allow_reuse_address = True
+        daemon_threads = True
+
+        def server_close(self):
+            super().server_close()
+            # ThreadingMixIn only joins NON-daemon handler threads, so
+            # an in-flight connection's lines_served increment would
+            # race whoever reads the total after close (the CLI's final
+            # {"served": N} line).  Give live handlers a bounded window
+            # to finish; a handler stuck on a dead client stays daemon
+            # and is abandoned after the timeout.
+            for t in list(self._handler_threads):
+                if t is not threading.current_thread():
+                    t.join(timeout=2.0)
+
+    server = _Server((host, port), _Handler)
+    server.lines_served = 0
+    server._lock = threading.Lock()
+    server._handler_threads = set()
+    return server
+
+
 def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 writer: _ResponseWriter, key: jax.Array,
                 max_coalesce: int, refine: str) -> int:

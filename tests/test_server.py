@@ -415,3 +415,82 @@ def test_writer_close_does_not_hang_on_dead_thread_full_queue():
         w._q.put({"i": i}, timeout=1)
     with pytest.raises(OSError):
         w.close()  # pre-fix: blocked forever on the sentinel put
+
+
+def _tcp_client_lines(host, port, payload, n_replies):
+    """Send payload over a fresh TCP connection, read n_replies lines."""
+    import socket
+
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(payload.encode())
+        f = s.makefile("r", encoding="utf-8")
+        return [json.loads(f.readline()) for _ in range(n_replies)]
+
+
+def test_serve_tcp_round_trip():
+    """TCP serving answers the same JSON-lines protocol per connection,
+    sequential connections share the compiled bucket programs, and
+    lines_served aggregates across connections."""
+    import threading
+
+    from ndivplanning_tpu.planning.server import serve_tcp
+    from ndivplanning_tpu.utils.compile_guard import count_compiles
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    server = serve_tcp(cfg, state, port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]})
+        lines = _tcp_client_lines(host, port, req + "\nquit\n", 1)
+        assert "best_score" in lines[0]
+        assert len(lines[0]["best_traj"]) == cfg.horizon
+        # Second connection, same 1-bucket: zero new compilations (the
+        # whole point of sharing state + jit cache across connections).
+        with count_compiles() as rec:
+            req2 = json.dumps({"start": [0.2, 0.2], "goal": [0.8, 0.8]})
+            out = _tcp_client_lines(host, port, req2 + "\nquit\n", 1)
+        assert "best_score" in out[0]
+        assert rec.count == 0, f"second connection recompiled: {rec.names}"
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert server.lines_served == 2  # one line per connection
+
+
+def test_serve_tcp_error_isolation_and_disconnect():
+    """A malformed line gets an isolated error reply over TCP, and an
+    abrupt client disconnect mid-stream leaves the server serving new
+    connections."""
+    import socket
+    import threading
+
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    server = serve_tcp(cfg, state, port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # Abrupt disconnect: send a request then slam the socket shut
+        # without reading the reply.
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall((json.dumps({"start": [0.1, 0.1],
+                               "goal": [0.9, 0.9]}) + "\n").encode())
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     b"\x01\x00\x00\x00\x00\x00\x00\x00")  # RST on close
+        s.close()
+        # Server must still answer a fresh connection, errors isolated.
+        payload = ("not json\n"
+                   + json.dumps({"start": [0.2, 0.2],
+                                 "goal": [0.8, 0.8]}) + "\nquit\n")
+        lines = _tcp_client_lines(host, port, payload, 2)
+        assert "error" in lines[0]
+        assert "best_score" in lines[1]
+    finally:
+        server.shutdown()
+        server.server_close()
