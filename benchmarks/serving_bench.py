@@ -151,6 +151,72 @@ def bench_sustained(cfg, state, offered_qps: float, n_requests: int) -> dict:
     }
 
 
+def bench_sustained_tcp(cfg, state, offered_qps: float,
+                        n_requests: int) -> dict:
+    """The sustained scenario over the REAL TCP server (`serve_tcp` +
+    `PlanningClient`): same open-loop arrival process as
+    ``bench_sustained`` but through a network socket, so the row prices
+    the full deployment transport (TCP framing + thread-per-connection
+    handler) against the pipe rows."""
+    import socket
+
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    server = serve_tcp(cfg, state, port=0)
+    host, port = server.server_address[:2]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+    sock = socket.create_connection((host, port), timeout=600)
+    reader_f = sock.makefile("r", encoding="utf-8")
+    writer_f = sock.makefile("w", encoding="utf-8")
+
+    recv_t: list[float] = []
+
+    def reader() -> None:
+        for line in reader_f:
+            recv_t.append(time.perf_counter())
+            if len(recv_t) >= n_requests:
+                return
+
+    rd = threading.Thread(target=reader, daemon=True)
+    rd.start()
+    period = 1.0 / offered_qps
+    req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
+                      "obstacles": [[0.5, 0.5, 0.1]]}) + "\n"
+    send_t: list[float] = []
+    t_start = time.perf_counter()
+    for i in range(n_requests):
+        target = t_start + i * period
+        now = time.perf_counter()
+        if target > now:
+            time.sleep(target - now)
+        send_t.append(time.perf_counter())
+        writer_f.write(req)
+        writer_f.flush()
+    rd.join(timeout=600)
+    writer_f.write("quit\n")
+    writer_f.flush()
+    sock.close()
+    server.shutdown()
+    server.server_close()
+    answered = len(recv_t)
+    if answered == 0:
+        return {"offered_qps": offered_qps, "n_requests": n_requests,
+                "answered": 0}
+    lat_ms = (np.asarray(recv_t) - np.asarray(send_t[:answered])) * 1e3
+    elapsed = recv_t[-1] - send_t[0]
+    return {
+        "transport": "tcp",
+        "offered_qps": offered_qps,
+        "n_requests": n_requests,
+        "answered": answered,
+        "achieved_qps": round(answered / elapsed, 1),
+        "client_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "client_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "client_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+    }
+
+
 def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sustained = [float(q) for q in sys.argv[2:]] or [20.0, 45.0]
@@ -183,6 +249,9 @@ def main() -> None:
         "burst16": bench_mode(cfg, state, 16, n_iters),
         "sustained": [bench_sustained(cfg, state, q, max(4 * n_iters, 50))
                       for q in sustained],
+        "sustained_tcp": [
+            bench_sustained_tcp(cfg, state, q, max(4 * n_iters, 50))
+            for q in sustained],
     }
     print(json.dumps(result))
 

@@ -1,6 +1,7 @@
 """Sim-in-the-loop planning (SURVEY.md §3.3, L5)."""
 
 from ndivplanning_tpu.planning.cem import plan_cem, plan_cem_batch
+from ndivplanning_tpu.planning.client import PlanningClient, ServerError
 from ndivplanning_tpu.planning.grad_refine import (
     SoftWeights,
     plan_grad,
@@ -11,4 +12,4 @@ from ndivplanning_tpu.planning.planner import PlanResult, plan, plan_batch
 
 __all__ = ["MPCResult", "mpc_rollout", "PlanResult", "plan", "plan_batch",
            "plan_cem", "plan_cem_batch", "plan_grad", "plan_grad_batch",
-           "SoftWeights"]
+           "PlanningClient", "ServerError", "SoftWeights"]

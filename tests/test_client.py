@@ -1,0 +1,108 @@
+"""PlanningClient tests: the client half of the serving protocol."""
+
+import os
+import threading
+
+import pytest
+
+from ndivplanning_tpu.planning.client import PlanningClient, ServerError
+from ndivplanning_tpu.planning.server import serve, serve_tcp
+from ndivplanning_tpu.train.state import create_train_state
+from ndivplanning_tpu.utils.config import get_config
+
+
+def _cfg():
+    return get_config("planning", batch_size=4, k=4, g_hidden=(32,),
+                      d_hidden=(32,), cond_embed_dim=8, image_size=16,
+                      n_candidates=32)
+
+
+def test_client_tcp_plan_batch_and_errors():
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    server = serve_tcp(cfg, state, port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with PlanningClient.tcp(host, port) as c:
+            resp = c.plan(start=[0.1, 0.1], goal=[0.9, 0.9],
+                          obstacles=[[0.5, 0.5, 0.1]])
+            assert len(resp["best_traj"]) == cfg.horizon
+            out = c.plan_batch([
+                {"start": [0.2, 0.2], "goal": [0.8, 0.8]},
+                {"start": [0.3, 0.1], "goal": [0.7, 0.9]}])
+            assert len(out) == 2 and all("best_score" in r for r in out)
+            # Per-position error isolation surfaces as ServerError...
+            with pytest.raises(ServerError, match="request 1"):
+                c.plan_batch([{"start": [0.1, 0.1], "goal": [0.9, 0.9]},
+                              {"goal": [0.9, 0.9]}])
+            # ...or as raw dicts when the caller wants them.
+            raw = c.plan_batch(
+                [{"start": [0.1, 0.1], "goal": [0.9, 0.9]},
+                 {"goal": [0.9, 0.9]}], raise_on_error=False)
+            assert "best_score" in raw[0] and "error" in raw[1]
+            with pytest.raises(ServerError):
+                c.plan(start=[0.1], goal=[0.9, 0.9])  # bad shape
+            # Connection still healthy after error replies.
+            assert "best_score" in c.plan(start=[0.2, 0.1],
+                                          goal=[0.9, 0.9])
+        # close() is idempotent and post-close use is a clear error.
+        with pytest.raises(RuntimeError, match="closed"):
+            c.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_client_over_pipes_with_mpc(monkeypatch):
+    """The same client drives a serve() loop over raw OS pipes (the
+    spawn transport) including a closed-loop MPC request."""
+    from ndivplanning_tpu.planning import server as srv
+
+    monkeypatch.setattr(srv, "MPC_TOTAL_STEPS", 8)
+    monkeypatch.setattr(srv, "MPC_REPLAN_EVERY", 4)
+    monkeypatch.setattr(srv, "MPC_CANDIDATES", 8)
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    in_r, in_w = os.pipe()
+    out_r, out_w = os.pipe()
+    t = threading.Thread(
+        target=serve, args=(cfg, state),
+        kwargs={"stdin": os.fdopen(in_r, "r"),
+                "stdout": os.fdopen(out_w, "w")}, daemon=True)
+    t.start()
+    with PlanningClient(os.fdopen(out_r, "r"), os.fdopen(in_w, "w")) as c:
+        resp = c.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
+        assert "best_score" in resp
+        ep = c.mpc(start=[0.2, 0.1], goal=[0.9, 0.8])
+        assert len(ep["path"]) == 8 and ep["n_replans"] == 2
+    t.join(timeout=30)  # client close() sent quit -> loop exited
+    assert not t.is_alive()
+
+
+def test_client_spawn_lifecycle(tmp_path):
+    """spawn() owns a child process end-to-end: requests round-trip over
+    its pipes and close() reaps it (stub server module — the real CLI
+    would pull the whole backend into a subprocess)."""
+    stub = tmp_path / "stub_cli.py"
+    stub.write_text(
+        "import json, sys\n"
+        "assert sys.argv[1] == 'serve'\n"
+        "for line in sys.stdin:\n"
+        "    line = line.strip()\n"
+        "    if line == 'quit':\n"
+        "        break\n"
+        "    req = json.loads(line)\n"
+        "    print(json.dumps({'best_score': 1.0, 'echo': req}),"
+        " flush=True)\n")
+    c = PlanningClient.spawn(
+        ["--preset", "x"], module="stub_cli",
+        env=dict(os.environ, PYTHONPATH=str(tmp_path)))
+    resp = c.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
+    assert resp["best_score"] == 1.0
+    assert resp["echo"]["start"] == [0.1, 0.1]
+    proc = c._owned[0]
+    c.close()
+    c.close()  # idempotent
+    assert proc.poll() is not None  # child reaped, not leaked
