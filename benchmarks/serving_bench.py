@@ -217,6 +217,65 @@ def bench_sustained_tcp(cfg, state, offered_qps: float,
     }
 
 
+def bench_concurrent_tcp(cfg, state, n_clients: int, reqs_per_client: int,
+                         cross_batch: bool) -> dict:
+    """N concurrent TCP clients, each a closed loop of single requests
+    (send, wait for the reply, send the next).  Without cross-batching
+    every request is its own bucket-1 dispatch, so aggregate throughput
+    is capped at ~1/dispatch-latency no matter how many clients connect;
+    with ``cross_batch=True`` concurrent requests ride shared dispatches
+    and aggregate QPS scales toward bucket-16/dispatch-latency."""
+    import socket
+
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    server = serve_tcp(cfg, state, port=0, cross_batch=cross_batch)
+    host, port = server.server_address[:2]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+    lat: list[float] = []
+    batch_sizes: list[int] = []
+    lock = threading.Lock()
+    req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
+                      "obstacles": [[0.5, 0.5, 0.1]]}) + "\n"
+
+    def client() -> None:
+        with socket.create_connection((host, port), timeout=600) as s:
+            r = s.makefile("r", encoding="utf-8")
+            w = s.makefile("w", encoding="utf-8")
+            for _ in range(reqs_per_client):
+                t0 = time.perf_counter()
+                w.write(req)
+                w.flush()
+                resp = json.loads(r.readline())
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+                    batch_sizes.append(resp.get("batch_size", 0))
+            w.write("quit\n")
+            w.flush()
+
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    elapsed = time.perf_counter() - t_start
+    server.shutdown()
+    server.server_close()
+    lat_ms = np.asarray(lat) * 1e3
+    return {
+        "cross_batch": cross_batch,
+        "n_clients": n_clients,
+        "reqs_per_client": reqs_per_client,
+        "aggregate_qps": round(len(lat) / elapsed, 1),
+        "client_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "client_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "mean_dispatch_batch": round(float(np.mean(batch_sizes)), 2),
+    }
+
+
 def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sustained = [float(q) for q in sys.argv[2:]] or [20.0, 45.0]
@@ -252,6 +311,10 @@ def main() -> None:
         "sustained_tcp": [
             bench_sustained_tcp(cfg, state, q, max(4 * n_iters, 50))
             for q in sustained],
+        "concurrent_tcp": [
+            bench_concurrent_tcp(cfg, state, 8, max(n_iters, 10),
+                                 cross_batch=cb)
+            for cb in (False, True)],
     }
     print(json.dumps(result))
 

@@ -244,6 +244,13 @@ def main(argv=None) -> int:
                                 "the compiled per-bucket programs")
             p.add_argument("--host", default="127.0.0.1",
                            help="bind address for --tcp")
+            p.add_argument("--cross-batch", action="store_true",
+                           help="with --tcp: coalesce requests ACROSS "
+                                "connections into shared dispatches "
+                                "(N concurrent single-request clients "
+                                "cost ~1 dispatch instead of N); PRNG "
+                                "draws are then dispatcher-owned rather "
+                                "than per-connection")
             p.add_argument("--no-overlap", action="store_true",
                            help="disable the writer-thread pipeline that "
                                 "overlaps JSON encode/write of batch N "
@@ -509,7 +516,8 @@ def main(argv=None) -> int:
 
             server = serve_tcp(cfg, state, host=args.host, port=args.tcp,
                                refine=args.refine,
-                               overlap=not args.no_overlap)
+                               overlap=not args.no_overlap,
+                               cross_batch=args.cross_batch)
             host, port = server.server_address[:2]
             # One parseable readiness line (stdout): clients/orchestrators
             # wait for it instead of polling the port.

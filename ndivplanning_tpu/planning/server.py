@@ -485,10 +485,126 @@ class _ResponseWriter:
 _WRITER_DONE = object()
 
 
+class _Pending:
+    """One request in flight through the :class:`_CrossBatcher`."""
+
+    __slots__ = ("req", "arrival", "event", "result")
+
+    def __init__(self, req: dict, arrival: float):
+        self.req = req
+        self.arrival = arrival
+        self.event = threading.Event()
+        self.result: dict | list | None = None
+
+
+class _CrossBatcher:
+    """Cross-connection dynamic batching for :func:`serve_tcp`.
+
+    Without it, N concurrent single-request clients cost N serial
+    bucket-1 dispatches (JAX serialises device dispatch; on the ~35 ms-
+    per-dispatch TPU tunnel that caps aggregate throughput at ~1/35 ms
+    regardless of client count).  The batcher funnels every
+    connection's requests through ONE dispatcher thread that drains
+    whatever is pending — across connections — into shared
+    ``handle_batch`` dispatches: while dispatch N runs, new arrivals
+    accumulate and ride dispatch N+1 together (continuous batching; no
+    artificial delay is ever added to an idle server).
+
+    Responses complete per-request via ``handle_batch``'s
+    ``on_progress`` hook, so one client's closed-loop MPC episode never
+    holds another client's finished plan response hostage.  The
+    dispatcher owns the PRNG stream (per-connection seeds don't apply
+    in this mode — requests from many clients share dispatch draws).
+    """
+
+    def __init__(self, cfg: Config, state: TrainState, *,
+                 n_diverse: int = 4, refine: str = "none", seed: int = 0,
+                 max_batch: int = BUCKETS[-1]):
+        self._cfg = cfg
+        self._state = state
+        self._n_diverse = n_diverse
+        self._refine = refine
+        self._key = jax.random.PRNGKey(seed)
+        self._max = max_batch
+        self._q: "queue.Queue[list[_Pending] | None]" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, reqs: list[dict], arrival: float) -> list[_Pending]:
+        """Enqueue one connection's burst (atomically — it can coalesce
+        with other connections' bursts but never splits mid-line)."""
+        pendings = [_Pending(r, arrival) for r in reqs]
+        if pendings:
+            self._q.put(pendings)
+        return pendings
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    def _fail(self, pendings: list[_Pending], msg: str) -> None:
+        for p in pendings:
+            if p.result is None:
+                p.result = {"error": msg}
+            p.event.set()
+
+    def _run(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                # Shutdown: fail anything still queued so no connection
+                # thread blocks forever on an abandoned event.
+                while True:
+                    try:
+                        rest = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if rest is not None:
+                        self._fail(rest, "server shutting down")
+            batch = list(first)
+            while len(batch) < self._max:
+                try:
+                    more = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if more is None:
+                    self._q.put(None)  # re-post: exit after this batch
+                    break
+                batch.extend(more)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: list[_Pending]) -> None:
+        out: list = [None] * len(batch)
+        done = [False] * len(batch)
+
+        def progress() -> None:
+            for i, p in enumerate(batch):
+                if not done[i] and out[i] is not None:
+                    p.result = out[i]
+                    done[i] = True
+                    p.event.set()
+
+        self._key, sub = jax.random.split(self._key)
+        try:
+            handle_batch(self._cfg, self._state,
+                         [p.req for p in batch], sub,
+                         n_diverse=self._n_diverse, refine=self._refine,
+                         arrivals=[p.arrival for p in batch],
+                         on_progress=progress, out=out)
+            progress()
+        except BaseException as e:  # noqa: BLE001 — keep serving
+            for i, p in enumerate(batch):
+                if not done[i]:
+                    p.result = (out[i] if out[i] is not None else
+                                {"error": f"{type(e).__name__}: {e}"})
+                    done[i] = True
+                    p.event.set()
+
+
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
           stdout: IO[str] = sys.stdout, seed: int = 0,
           max_coalesce: int = BUCKETS[-1], refine: str = "none",
-          overlap: bool = True) -> int:
+          overlap: bool = True, batcher: _CrossBatcher | None = None) -> int:
     """Blocking request loop; returns number of request lines answered.
 
     Each input line is either one request object or an array of request
@@ -506,7 +622,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     writer = _ResponseWriter(stdout, overlap)
     try:
         n = _serve_loop(cfg, state, source, writer, key, max_coalesce,
-                        refine)
+                        refine, batcher=batcher)
     except BaseException:
         # Flush/stop the writer without letting a secondary write error
         # (dead client pipe) mask the loop's own exception; bounded wait
@@ -523,7 +639,8 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
 
 def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
               port: int = 0, seed: int = 0, refine: str = "none",
-              overlap: bool = True, max_coalesce: int = BUCKETS[-1]):
+              overlap: bool = True, max_coalesce: int = BUCKETS[-1],
+              cross_batch: bool = False):
     """Network serving: the same JSON-lines protocol over TCP.
 
     Returns a ``ThreadingTCPServer`` already bound (``port=0`` picks an
@@ -536,16 +653,22 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
     with ``select`` and a socket fd supports both — against the shared
     ``state`` and jit cache, so every connection reuses the same
     per-bucket compiled programs (compile once, serve many clients).
-    Concurrent connections interleave at dispatch granularity: JAX
-    serialises device dispatches, so cross-client batches never mix and
-    responses stay per-connection ordered.  Each connection derives its
-    own PRNG stream (``seed`` + connection counter).  A ``quit`` line
-    (or EOF) closes only that connection.
+    By default concurrent connections interleave at dispatch
+    granularity: JAX serialises device dispatches, so cross-client
+    batches never mix and each connection derives its own PRNG stream
+    (``seed`` + connection counter).  With ``cross_batch=True`` a shared
+    :class:`_CrossBatcher` additionally coalesces requests ACROSS
+    connections into shared dispatches — N concurrent single-request
+    clients then cost ~1 dispatch instead of N serial bucket-1
+    dispatches (the PRNG stream is dispatcher-owned in this mode).
+    A ``quit`` line (or EOF) closes only that connection.
     """
     import itertools
     import socketserver
 
     conn_counter = itertools.count()
+    batcher = (_CrossBatcher(cfg, state, refine=refine, seed=seed)
+               if cross_batch else None)
 
     class _Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -558,7 +681,8 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
             try:
                 n = serve(cfg, state, stdin=reader, stdout=writer,
                           seed=seed + conn_id, refine=refine,
-                          overlap=overlap, max_coalesce=max_coalesce)
+                          overlap=overlap, max_coalesce=max_coalesce,
+                          batcher=batcher)
                 with server._lock:
                     server.lines_served += n
             except (BrokenPipeError, ConnectionResetError):
@@ -587,6 +711,8 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
             for t in list(self._handler_threads):
                 if t is not threading.current_thread():
                     t.join(timeout=2.0)
+            if batcher is not None:
+                batcher.close()
 
     server = _Server((host, port), _Handler)
     server.lines_served = 0
@@ -597,7 +723,8 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
 
 def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 writer: _ResponseWriter, key: jax.Array,
-                max_coalesce: int, refine: str) -> int:
+                max_coalesce: int, refine: str,
+                batcher: _CrossBatcher | None = None) -> int:
     n = 0
     stop = False
     while not stop:
@@ -672,9 +799,19 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 next_unit += 1
 
         if flat:
-            key, sub = jax.random.split(key)
-            handle_batch(cfg, state, flat, sub, refine=refine,
-                         arrivals=[t_arrive] * len(flat),
-                         on_progress=flush_ready, out=answers)
+            if batcher is not None:
+                # Cross-connection mode: the shared dispatcher plans this
+                # burst (possibly riding a dispatch with other clients'
+                # requests).  Waiting in protocol order is free — only
+                # protocol-ordered units can flush anyway.
+                for i, p in enumerate(batcher.submit(flat, t_arrive)):
+                    p.event.wait()
+                    answers[i] = p.result
+                    flush_ready()
+            else:
+                key, sub = jax.random.split(key)
+                handle_batch(cfg, state, flat, sub, refine=refine,
+                             arrivals=[t_arrive] * len(flat),
+                             on_progress=flush_ready, out=answers)
         flush_ready()  # error-only bursts + anything not yet flushed
     return n

@@ -2,6 +2,7 @@
 
 import io
 import json
+import threading
 
 from ndivplanning_tpu.planning.server import handle_request, serve
 from ndivplanning_tpu.train.state import create_train_state
@@ -494,3 +495,142 @@ def test_serve_tcp_error_isolation_and_disconnect():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_cross_batcher_coalesces_across_submits(monkeypatch):
+    """While the dispatcher is busy with dispatch N, submits from other
+    connections accumulate and ride dispatch N+1 TOGETHER (the whole
+    point: N single-request clients != N serial bucket-1 dispatches)."""
+    import threading as _threading
+
+    from ndivplanning_tpu.planning import server as srv
+    from ndivplanning_tpu.planning.server import _CrossBatcher
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    gate = _threading.Event()
+    sizes = []
+    real = srv.handle_batch
+
+    def gated(cfg_, state_, reqs, key, **kw):
+        sizes.append(len(reqs))
+        if len(sizes) == 1:
+            gate.wait(timeout=60)  # hold dispatch 1 while others queue
+        return real(cfg_, state_, reqs, key, **kw)
+
+    monkeypatch.setattr(srv, "handle_batch", gated)
+    b = _CrossBatcher(cfg, state)
+    try:
+        first = b.submit([{"start": [0.1, 0.1], "goal": [0.9, 0.9]}],
+                         0.0)
+        while not sizes:  # dispatcher picked up the first request
+            pass
+        later = [b.submit([{"start": [0.1 + 0.05 * i, 0.1],
+                            "goal": [0.9, 0.9]}], 0.0)[0]
+                 for i in range(5)]
+        gate.set()
+        for p in first + later:
+            assert p.event.wait(timeout=120)
+            assert "best_score" in p.result, p.result
+        assert sizes == [1, 5]  # the 5 queued requests shared a dispatch
+        assert all(p.result["batch_size"] == 8 for p in later)  # bucket
+        # Distinct starts got distinct plans — no cross-request mixups.
+        firsts = {tuple(p.result["best_traj"][0]) for p in later}
+        assert len(firsts) > 1
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_serve_tcp_cross_batch_concurrent_clients():
+    """End-to-end: concurrent TCP clients under cross_batch=True each
+    get their own correct response (error isolation included), and the
+    dispatcher's error handling keeps the server healthy."""
+    import socket
+
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    server = serve_tcp(cfg, state, port=0, cross_batch=True)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    results: dict[int, list] = {}
+
+    def client(i: int) -> None:
+        if i == 2:  # one malformed request among the crowd
+            payload = json.dumps({"goal": [0.9, 0.9]}) + "\nquit\n"
+        else:
+            payload = json.dumps({"start": [0.1 + 0.05 * i, 0.1],
+                                  "goal": [0.9, 0.9]}) + "\nquit\n"
+        results[i] = _tcp_client_lines(host, port, payload, 1)
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert sorted(results) == list(range(6))
+        assert "error" in results[2][0]
+        firsts = set()
+        for i in (0, 1, 3, 4, 5):
+            resp = results[i][0]
+            assert "best_score" in resp, resp
+            firsts.add(tuple(resp["best_traj"][0]))
+        assert len(firsts) > 1  # per-client answers, not one broadcast
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_cross_batcher_close_fails_queued_requests():
+    """close() with requests still queued answers them with an error
+    instead of leaving connection threads blocked forever."""
+    import threading as _threading
+
+    from ndivplanning_tpu.planning import server as srv
+    from ndivplanning_tpu.planning.server import _CrossBatcher
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    gate = _threading.Event()
+    n_calls = []
+    real = srv.handle_batch
+
+    def gated(*args, **kw):
+        n_calls.append(1)
+        gate.wait(timeout=60)
+        return real(*args, **kw)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(srv, "handle_batch", gated)
+    try:
+        b = _CrossBatcher(cfg, state)
+        # Requests queued BEFORE close drain normally (the dispatcher
+        # re-posts the sentinel behind in-flight work)...
+        pre = b.submit([{"start": [0.2, 0.1], "goal": [0.9, 0.9]}],
+                       0.0)[0]
+        while not n_calls:
+            pass
+        closer = _threading.Thread(target=b.close, daemon=True)
+        closer.start()
+        while b._q.qsize() < 1:  # sentinel queued (pre already dequeued)
+            pass
+        # ...requests landing AFTER the sentinel are failed, not hung.
+        post = b.submit([{"start": [0.3, 0.1], "goal": [0.9, 0.9]}],
+                        0.0)[0]
+        gate.set()  # dispatch 1 completes; dispatcher drains and exits
+        assert pre.event.wait(timeout=120)
+        assert "best_score" in pre.result, pre.result
+        assert post.event.wait(timeout=120)
+        assert "error" in post.result, post.result
+        closer.join(timeout=60)
+        assert not closer.is_alive()
+    finally:
+        gate.set()
+        mp.undo()
