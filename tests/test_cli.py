@@ -123,3 +123,57 @@ def test_eval_mpc_closed_loop_suite(tmp_path, capsys):
     assert "eval_mpc_success_rate" in out
     assert 0.0 <= out["eval_mpc_success_rate"] <= 1.0
     assert out["eval_mpc_replan_every"] == 4.0
+
+
+def test_serve_tcp_cli_end_to_end(tmp_path):
+    """The full `serve --tcp` CLI path in a subprocess: readiness line
+    on stdout, TCP round-trips from concurrent clients (cross-batch),
+    and a SIGINT shutdown whose final {"served": N} count includes
+    in-flight connections (the daemon-handler join race, round 3)."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import threading
+
+    wrapper = tmp_path / "clirun.py"
+    wrapper.write_text(
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from ndivplanning_tpu.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, str(wrapper), "serve", "--preset", "pointmass2d",
+         "--batch-size", "4", "--k", "4", "--workdir", str(tmp_path),
+         "--set", "n_candidates=32", "--tcp", "0", "--cross-batch"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=dict(os.environ, PYTHONPATH=repo))
+    try:
+        ready = json.loads(proc.stdout.readline())
+        host, port = ready["listening"].rsplit(":", 1)
+        results = {}
+
+        def client(i):
+            with socket.create_connection((host, int(port)),
+                                          timeout=300) as s:
+                s.sendall((json.dumps(
+                    {"start": [0.1 + 0.1 * i, 0.1],
+                     "goal": [0.9, 0.9]}) + "\nquit\n").encode())
+                results[i] = json.loads(s.makefile("r").readline())
+
+        client(0)  # pays the bucket-1 compile
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in (1, 2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all("best_score" in results[i] for i in range(3)), results
+        proc.send_signal(signal.SIGINT)
+        out, _ = proc.communicate(timeout=60)
+        assert json.loads(out.strip().splitlines()[-1]) == {"served": 3}
+    finally:
+        if proc.poll() is None:
+            proc.kill()
