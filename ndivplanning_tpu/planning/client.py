@@ -131,6 +131,18 @@ class PlanningClient:
         """Closed-loop episode (`path`, `reached`, `n_replans`, ...)."""
         return self.plan(start, goal, obstacles, mpc=True, **extra)
 
+    def stats(self) -> dict:
+        """Process-level serving counters (the `stats` protocol line):
+        dispatches, requests, mean dispatch batch, pad fraction."""
+        if self._closed:
+            raise RuntimeError("client is closed")
+        self._writer.write("stats\n")
+        self._writer.flush()
+        line = self._reader.readline()
+        if not line:
+            raise ConnectionError("server closed the connection")
+        return json.loads(line)
+
     # -- lifecycle -------------------------------------------------------
 
     def close(self) -> None:

@@ -14,6 +14,10 @@ Response: {"best_traj": [[x, y] * horizon], "best_score": s,
 MPC resp: {"path": [[x, y] * 64], "reached": 0|1, "collided": 0|1,
            "n_replans": 8, "latency_ms": t, "batch_size": n}
 
+A literal ``stats`` line is answered with the process-level serving
+counters (dispatches, requests, mean dispatch batch, pad fraction) —
+the observability probe for monitoring cross-batch efficiency live.
+
 Batched serving
 ---------------
 Requests coalesce into ONE ``plan_batch`` dispatch (vmap over scenes)
@@ -59,6 +63,45 @@ from ndivplanning_tpu.train.state import TrainState
 from ndivplanning_tpu.utils.config import Config
 
 BUCKETS = (1, 2, 4, 8, 16)
+
+# Process-level serving counters (see the "stats" request line): updated
+# by every dispatch path (direct, coalesced, cross-batched), read by any
+# connection.  A plain dict + lock — the counters are host-side
+# bookkeeping, never traced.
+_STATS_LOCK = threading.Lock()
+SERVING_STATS = {"dispatches": 0, "requests": 0, "mpc_requests": 0,
+                 "padded_slots": 0, "started_at": None}
+
+
+def _record_dispatch(n_real: int, bucket: int, mpc: bool) -> None:
+    with _STATS_LOCK:
+        SERVING_STATS["dispatches"] += 1
+        SERVING_STATS["requests"] += n_real
+        if mpc:
+            SERVING_STATS["mpc_requests"] += n_real
+        SERVING_STATS["padded_slots"] += bucket - n_real
+        if SERVING_STATS["started_at"] is None:
+            SERVING_STATS["started_at"] = time.time()
+
+
+def serving_stats() -> dict:
+    """Snapshot of the process-level serving counters: total dispatches
+    and requests, closed-loop share, mean dispatch batch (cross-batch
+    efficiency at a glance), pad overhead, and uptime."""
+    with _STATS_LOCK:
+        s = dict(SERVING_STATS)
+    d = max(s["dispatches"], 1)
+    return {
+        "dispatches": s["dispatches"],
+        "requests": s["requests"],
+        "mpc_requests": s["mpc_requests"],
+        "mean_dispatch_batch": round(s["requests"] / d, 2),
+        "pad_fraction": round(
+            s["padded_slots"] / max(s["requests"] + s["padded_slots"], 1),
+            3),
+        "since_first_dispatch_s": (round(time.time() - s["started_at"], 1)
+                                   if s["started_at"] else 0.0),
+    }
 
 # Closed-loop serving parameters are FIXED (not per-request): each
 # distinct (total_steps, replan_every, n_candidates) combination is a
@@ -197,6 +240,7 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
         on_progress()  # error-only prefixes can flush before any compute
 
     def dispatch_plan(scene_b, keys, bucket, chunk_idx):
+        _record_dispatch(len(chunk_idx), bucket, mpc=False)
         result = _serve_plan_program(cfg, state, scene_b, keys,
                                      n_diverse, refine)
         # ONE host transfer for the whole dispatch: the diverse set was
@@ -272,6 +316,7 @@ def _handle_mpc(cfg: Config, state: TrainState, scenes: list[Scene],
     "collided": 0|1, "n_replans": n, "latency_ms": t, "batch_size": b}.
     """
     def dispatch_mpc(scene_b, keys, bucket, chunk_idx):
+        _record_dispatch(len(chunk_idx), bucket, mpc=True)
         result = _serve_mpc_program(cfg, state, scene_b, keys,
                                     MPC_TOTAL_STEPS, MPC_REPLAN_EVERY,
                                     MPC_CANDIDATES)
@@ -748,6 +793,14 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
             raw = raw.strip()
             if not raw:
                 continue
+            if raw == "stats":
+                # Observability probe: answered from the process-level
+                # counters (includes warmup dispatches), no device work.
+                # Snapshot at WRITE time, in protocol order — a stats
+                # line after requests in the same burst sees their
+                # dispatches.
+                units.append(("info", None, len(flat), 0))
+                continue
             if raw == "quit":
                 # Keep processing the rest of the burst: these lines
                 # were already consumed from the pipe, so skipping them
@@ -792,7 +845,8 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 for r in chunk:
                     if "latency_ms" in r:
                         r["latency_ms"] = round((t_now - t_arrive) * 1e3, 2)
-                response = (payload if kind == "error"
+                response = (serving_stats() if kind == "info"
+                            else payload if kind == "error"
                             else chunk if kind == "list" else chunk[0])
                 writer.push(response)
                 n += 1

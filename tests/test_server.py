@@ -634,3 +634,45 @@ def test_cross_batcher_close_fails_queued_requests():
     finally:
         gate.set()
         mp.undo()
+
+
+def test_stats_protocol_line():
+    """A literal `stats` line answers with the process counters, in
+    protocol order (a stats line after requests in the same burst sees
+    their dispatches), and the client helper parses it."""
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    from ndivplanning_tpu.planning.client import PlanningClient
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    # stdin path: request then stats in ONE burst -> the stats response
+    # reflects the request's dispatch.
+    stdin = io.StringIO(
+        json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]}) + "\n"
+        + "stats\nquit\n")
+    stdout = io.StringIO()
+    served = serve(cfg, state, stdin=stdin, stdout=stdout)
+    assert served == 2
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert "best_score" in lines[0]
+    stats = lines[1]
+    assert stats["dispatches"] >= 1
+    assert stats["requests"] >= 1
+    assert 0.0 <= stats["pad_fraction"] <= 1.0
+    assert stats["mean_dispatch_batch"] >= 1.0
+    # TCP + client helper: counters are process-wide and monotone.
+    server = serve_tcp(cfg, state, port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with PlanningClient.tcp(host, port) as c:
+            before = c.stats()
+            c.plan(start=[0.2, 0.1], goal=[0.9, 0.9])
+            after = c.stats()
+        assert after["dispatches"] == before["dispatches"] + 1
+        assert after["requests"] == before["requests"] + 1
+    finally:
+        server.shutdown()
+        server.server_close()
