@@ -15,6 +15,7 @@ from ndivplanning_tpu.envs.rollout import (
     rollout_waypoints,
     score_candidates,
 )
+from ndivplanning_tpu.envs.quadrotor import QuadrotorParams, QuadrotorState
 from ndivplanning_tpu.envs.reacher import ReacherParams, ReacherState
 from ndivplanning_tpu.envs.unicycle import UnicycleParams, UnicycleState
 
@@ -22,6 +23,8 @@ __all__ = [
     "EnvAPI",
     "EnvParams",
     "EnvState",
+    "QuadrotorParams",
+    "QuadrotorState",
     "ReacherParams",
     "ReacherState",
     "Scene",

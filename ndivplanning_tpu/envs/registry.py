@@ -50,5 +50,15 @@ def get_env(name: str) -> EnvAPI:
             step=reacher.step,
             waypoint_control=reacher.waypoint_control,
         )
+    if name == "quadrotor":
+        from ndivplanning_tpu.envs import quadrotor
+
+        return EnvAPI(
+            make_params=quadrotor.QuadrotorParams.create,
+            reset=quadrotor.reset,
+            step=quadrotor.step,
+            waypoint_control=quadrotor.waypoint_control,
+        )
     raise ValueError(
-        f"unknown env {name!r}; expected pointmass | unicycle | reacher")
+        f"unknown env {name!r}; expected pointmass | unicycle | reacher "
+        "| quadrotor")

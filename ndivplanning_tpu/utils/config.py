@@ -28,7 +28,9 @@ class Config:
     # Environment family for rollouts/planning/eval (envs/registry.py):
     # "pointmass" (double integrator) | "unicycle" (Dubins-style pose +
     # forward speed, actions = accel + steering rate) | "reacher"
-    # (two-link arm, joint-space state, IK reset, J^T waypoint control).
+    # (two-link arm, joint-space state, IK reset, J^T waypoint control)
+    # | "quadrotor" (planar thrust-vectored, underactuated with gravity,
+    # actions = two rotor thrusts, cascaded waypoint control).
     env: str = "pointmass"
     image_size: int = 32
     horizon: int = 32

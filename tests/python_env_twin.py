@@ -194,3 +194,73 @@ class PyUnicycleEnv:
         self.pos, self.heading, self.speed = pos, heading, speed
         self.t += 1
         return self.pos.copy()
+
+
+class PyQuadrotorEnv:
+    """Step-by-step planar-quadrotor twin (mirrors envs/quadrotor.py,
+    written with explicit Python control flow)."""
+
+    def __init__(self, dt=0.1, mass=1.0, inertia=0.005, arm=0.1,
+                 gravity=0.5, max_thrust=1.5, max_speed=2.0, max_omega=8.0,
+                 bounds_lo=0.0, bounds_hi=1.0, goal_radius=0.05):
+        self.dt = dt
+        self.mass = mass
+        self.inertia = inertia
+        self.arm = arm
+        self.gravity = gravity
+        self.max_thrust = max_thrust
+        self.max_speed = max_speed
+        self.max_omega = max_omega
+        self.bounds_lo = bounds_lo
+        self.bounds_hi = bounds_hi
+        self.goal_radius = goal_radius
+
+    def reset(self, scene):
+        self.start = np.asarray(scene["start"], np.float32)
+        self.goal = np.asarray(scene["goal"], np.float32)
+        self.obstacles = [np.asarray(o, np.float32)
+                          for o in scene.get("obstacles", [])]
+        self.pos = self.start.copy()
+        self.vel = np.zeros(2, np.float32)
+        self.theta = 0.0
+        self.omega = 0.0
+        self.t = 0
+        self.done = False
+        self.collided = False
+        return self.pos.copy()
+
+    def step(self, action):
+        if self.done:
+            return self.pos.copy()
+        u1 = min(max(float(action[0]), 0.0), self.max_thrust)
+        u2 = min(max(float(action[1]), 0.0), self.max_thrust)
+        torque = np.float32((u2 - u1) * self.arm)
+        omega = np.float32(
+            min(max(self.omega + np.float32(torque / self.inertia * self.dt),
+                    -self.max_omega), self.max_omega))
+        theta = np.float32(self.theta + np.float32(omega * self.dt))
+        thrust = np.float32(u1 + u2)
+        up = np.asarray([-math.sin(theta), math.cos(theta)], np.float32)
+        acc = (thrust / np.float32(self.mass) * up
+               + np.asarray([0.0, -self.gravity], np.float32))
+        vel = np.clip(self.vel + acc * np.float32(self.dt),
+                      -self.max_speed, self.max_speed).astype(np.float32)
+        raw = self.pos + vel * np.float32(self.dt)
+        pos = np.clip(raw, self.bounds_lo, self.bounds_hi)
+        if not np.array_equal(pos, raw):
+            vel = np.zeros(2, np.float32)
+        for o in self.obstacles:
+            p0, d, c = self.pos, pos - self.pos, o[:2]
+            len2 = float(np.dot(d, d))
+            t = 0.0 if len2 < 1e-12 else float(np.dot(c - p0, d)) / len2
+            t = min(max(t, 0.0), 1.0)
+            closest = p0 + np.float32(t) * d
+            if float(np.sum((c - closest) ** 2)) < float(o[2] ** 2):
+                self.collided = True
+        dist = math.sqrt(float(np.sum((pos - self.goal) ** 2)))
+        if dist < self.goal_radius:
+            self.done = True
+        self.pos, self.vel = pos, vel
+        self.theta, self.omega = theta, omega
+        self.t += 1
+        return self.pos.copy()

@@ -11,6 +11,11 @@ import numpy as np
 import pytest
 
 from ndivplanning_tpu.envs.pointmass import reset as pm_reset, step as pm_step
+from ndivplanning_tpu.envs.quadrotor import (
+    QuadrotorParams,
+    reset as qd_reset,
+    step as qd_step,
+)
 from ndivplanning_tpu.envs.reacher import (
     ReacherParams,
     reset as re_reset,
@@ -22,7 +27,12 @@ from ndivplanning_tpu.envs.unicycle import (
     reset as un_reset,
     step as un_step,
 )
-from tests.python_env_twin import PyPointMassEnv, PyReacherEnv, PyUnicycleEnv
+from tests.python_env_twin import (
+    PyPointMassEnv,
+    PyQuadrotorEnv,
+    PyReacherEnv,
+    PyUnicycleEnv,
+)
 
 N_CASES = 8
 N_STEPS = 30
@@ -98,3 +108,23 @@ def test_reacher_random_params_match_twin(case):
     actions = rng.normal(scale=25.0, size=(N_STEPS, 2)).astype(np.float32)
     _drive(re_reset, re_step, ReacherParams.create, PyReacherEnv(**kwargs),
            _random_scene(rng), actions, kwargs, atol=5e-5)
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_quadrotor_random_params_match_twin(case):
+    rng = np.random.default_rng(4000 + case)
+    kwargs = dict(dt=float(rng.uniform(0.02, 0.2)),
+                  inertia=float(rng.uniform(0.002, 0.02)),
+                  arm=float(rng.uniform(0.05, 0.2)),
+                  gravity=float(rng.uniform(0.2, 1.5)),
+                  max_thrust=float(rng.uniform(0.8, 3.0)),
+                  max_speed=float(rng.uniform(0.5, 3.0)),
+                  max_omega=float(rng.uniform(2.0, 12.0)),
+                  goal_radius=float(rng.uniform(0.02, 0.1)))
+    # Thrusts around hover with spread past both clip rails.
+    hover = kwargs["gravity"] / 2.0
+    actions = (hover + rng.normal(scale=1.0, size=(N_STEPS, 2))).astype(
+        np.float32)
+    _drive(qd_reset, qd_step, QuadrotorParams.create,
+           PyQuadrotorEnv(**kwargs), _random_scene(rng), actions, kwargs,
+           atol=2e-5)
