@@ -227,14 +227,14 @@ def bench_concurrent_tcp(cfg, state, n_clients: int, reqs_per_client: int,
     and aggregate QPS scales toward bucket-16/dispatch-latency."""
     import socket
 
-    from ndivplanning_tpu.planning.server import serve_tcp
+    from ndivplanning_tpu.planning.server import serve_tcp, serving_stats
 
     server = serve_tcp(cfg, state, port=0, cross_batch=cross_batch)
     host, port = server.server_address[:2]
     srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
     srv_thread.start()
+    stats_before = serving_stats()
     lat: list[float] = []
-    batch_sizes: list[int] = []
     lock = threading.Lock()
     req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
                       "obstacles": [[0.5, 0.5, 0.1]]}) + "\n"
@@ -247,11 +247,10 @@ def bench_concurrent_tcp(cfg, state, n_clients: int, reqs_per_client: int,
                 t0 = time.perf_counter()
                 w.write(req)
                 w.flush()
-                resp = json.loads(r.readline())
+                json.loads(r.readline())
                 dt = time.perf_counter() - t0
                 with lock:
                     lat.append(dt)
-                    batch_sizes.append(resp.get("batch_size", 0))
             w.write("quit\n")
             w.flush()
 
@@ -264,6 +263,12 @@ def bench_concurrent_tcp(cfg, state, n_clients: int, reqs_per_client: int,
     elapsed = time.perf_counter() - t_start
     server.shutdown()
     server.server_close()
+    stats_after = serving_stats()
+    # Honest coalescing metric from the server's own counters: REAL
+    # requests per dispatch over this scenario only (per-response
+    # batch_size would be pad-inflated and per-request-weighted).
+    d_req = stats_after["requests"] - stats_before["requests"]
+    d_disp = stats_after["dispatches"] - stats_before["dispatches"]
     lat_ms = np.asarray(lat) * 1e3
     return {
         "cross_batch": cross_batch,
@@ -272,7 +277,7 @@ def bench_concurrent_tcp(cfg, state, n_clients: int, reqs_per_client: int,
         "aggregate_qps": round(len(lat) / elapsed, 1),
         "client_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "client_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
-        "mean_dispatch_batch": round(float(np.mean(batch_sizes)), 2),
+        "mean_dispatch_batch": round(d_req / max(d_disp, 1), 2),
     }
 
 

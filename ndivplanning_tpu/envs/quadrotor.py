@@ -115,7 +115,11 @@ def step(params: QuadrotorParams, scene: Scene, state: QuadrotorState,
                    -params.max_speed, params.max_speed)
     raw_pos = state.pos + vel * params.dt
     pos = jnp.clip(raw_pos, params.bounds_lo, params.bounds_hi)
-    vel = jnp.where(jnp.all(pos == raw_pos), vel, 0.0)  # absorbing walls
+    # Per-COMPONENT absorbing walls (the pointmass convention): grazing
+    # the floor kills vertical velocity but lets the body keep sliding
+    # laterally — an all-or-nothing zero would full-stop every floor
+    # graze, and gravity makes floor contact the common case here.
+    vel = jnp.where(pos == raw_pos, vel, 0.0)
 
     collided_now = _collision(state.pos, pos, scene)
     dist_to_goal = jnp.sqrt(jnp.sum(jnp.square(pos - scene.goal)))

@@ -88,15 +88,19 @@ class PlanningClient:
 
     # -- protocol --------------------------------------------------------
 
-    def _round_trip(self, payload: Any) -> Any:
+    def _send_line(self, line: str) -> Any:
+        """One raw protocol line out, one JSON response line back."""
         if self._closed:
             raise RuntimeError("client is closed")
-        self._writer.write(json.dumps(payload) + "\n")
+        self._writer.write(line + "\n")
         self._writer.flush()
-        line = self._reader.readline()
-        if not line:
+        resp = self._reader.readline()
+        if not resp:
             raise ConnectionError("server closed the connection")
-        return json.loads(line)
+        return json.loads(resp)
+
+    def _round_trip(self, payload: Any) -> Any:
+        return self._send_line(json.dumps(payload))
 
     def plan(self, start, goal, obstacles=None, *, mpc: bool = False,
              **extra) -> dict:
@@ -134,14 +138,7 @@ class PlanningClient:
     def stats(self) -> dict:
         """Process-level serving counters (the `stats` protocol line):
         dispatches, requests, mean dispatch batch, pad fraction."""
-        if self._closed:
-            raise RuntimeError("client is closed")
-        self._writer.write("stats\n")
-        self._writer.flush()
-        line = self._reader.readline()
-        if not line:
-            raise ConnectionError("server closed the connection")
-        return json.loads(line)
+        return self._send_line("stats")
 
     # -- lifecycle -------------------------------------------------------
 

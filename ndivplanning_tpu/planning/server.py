@@ -572,18 +572,37 @@ class _CrossBatcher:
         self._key = jax.random.PRNGKey(seed)
         self._max = max_batch
         self._q: "queue.Queue[list[_Pending] | None]" = queue.Queue()
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, reqs: list[dict], arrival: float) -> list[_Pending]:
         """Enqueue one connection's burst (atomically — it can coalesce
-        with other connections' bursts but never splits mid-line)."""
+        with other connections' bursts but never splits mid-line).
+        After ``close()`` every submit fails fast instead of enqueueing
+        into a queue nobody drains (a connection thread would otherwise
+        block forever on its event)."""
         pendings = [_Pending(r, arrival) for r in reqs]
-        if pendings:
-            self._q.put(pendings)
+        if not pendings:
+            return pendings
+        if self._closed:
+            self._fail(pendings, "server shutting down")
+            return pendings
+        self._q.put(pendings)
+        if self._closed and not self._thread.is_alive():
+            # close() raced our put and the dispatcher already exited:
+            # drain-fail whatever is left ourselves.
+            while True:
+                try:
+                    rest = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if rest is not None:
+                    self._fail(rest, "server shutting down")
         return pendings
 
     def close(self) -> None:
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=30)
 
@@ -629,8 +648,11 @@ class _CrossBatcher:
                     done[i] = True
                     p.event.set()
 
-        self._key, sub = jax.random.split(self._key)
         try:
+            # The key split lives INSIDE the try: any failure here must
+            # fail this batch's pendings, not kill the dispatcher loop
+            # with waiters left blocked.
+            self._key, sub = jax.random.split(self._key)
             handle_batch(self._cfg, self._state,
                          [p.req for p in batch], sub,
                          n_diverse=self._n_diverse, refine=self._refine,
@@ -752,14 +774,23 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
             # race whoever reads the total after close (the CLI's final
             # {"served": N} line).  Give live handlers a bounded window
             # to finish; a handler stuck on a dead client stays daemon
-            # and is abandoned after the timeout.
-            for t in list(self._handler_threads):
+            # and is abandoned after the timeout.  getattr: socketserver
+            # calls server_close() from __init__ on a bind failure,
+            # BEFORE the post-construction attributes exist — the real
+            # error (e.g. EADDRINUSE) must surface, not an
+            # AttributeError from this cleanup.
+            for t in list(getattr(self, "_handler_threads", ())):
                 if t is not threading.current_thread():
                     t.join(timeout=2.0)
             if batcher is not None:
                 batcher.close()
 
-    server = _Server((host, port), _Handler)
+    try:
+        server = _Server((host, port), _Handler)
+    except BaseException:
+        if batcher is not None:
+            batcher.close()  # don't leak the dispatcher thread
+        raise
     server.lines_served = 0
     server._lock = threading.Lock()
     server._handler_threads = set()

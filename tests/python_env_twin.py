@@ -247,8 +247,9 @@ class PyQuadrotorEnv:
                       -self.max_speed, self.max_speed).astype(np.float32)
         raw = self.pos + vel * np.float32(self.dt)
         pos = np.clip(raw, self.bounds_lo, self.bounds_hi)
-        if not np.array_equal(pos, raw):
-            vel = np.zeros(2, np.float32)
+        for i in range(2):  # per-component absorbing walls
+            if pos[i] != raw[i]:
+                vel[i] = 0.0
         for o in self.obstacles:
             p0, d, c = self.pos, pos - self.pos, o[:2]
             len2 = float(np.dot(d, d))
