@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -177,6 +178,14 @@ def main(argv=None) -> int:
     doc.add_argument("--probe-cpu", action="store_true",
                      help="probe the CPU backend instead of the default "
                           "platform preference")
+    cur = sub.add_parser(
+        "curves",
+        help="render a two-panel PNG training report (losses + "
+             "frozen-suite eval curves) from a run's metrics.jsonl")
+    cur.add_argument("--workdir", required=True,
+                     help="run directory containing metrics.jsonl")
+    cur.add_argument("--out", default="curves.png",
+                     help="output PNG path")
     for name in ("train", "eval", "plan", "serve", "viz", "record-data",
                  "export"):
         p = sub.add_parser(name)
@@ -184,6 +193,14 @@ def main(argv=None) -> int:
         if name == "viz":
             p.add_argument("--out", default="plan.png",
                            help="output PNG path")
+            p.add_argument("--mpc", action="store_true",
+                           help="render one closed-loop MPC episode "
+                                "(executed path colored by time, replan "
+                                "points marked) instead of open-loop "
+                                "candidates")
+            p.add_argument("--mpc-steps", type=int, default=64)
+            p.add_argument("--mpc-replan", type=int, default=8)
+            p.add_argument("--mpc-candidates", type=int, default=256)
         if name == "export":
             p.add_argument("--out", required=True,
                            help="output directory for the StableHLO "
@@ -294,6 +311,27 @@ def main(argv=None) -> int:
         # exit 0 when healthy (or probe skipped); 3 = backend unhealthy,
         # distinct from 2 = bad usage elsewhere in this CLI.
         return 0 if report.get("healthy", True) else 3
+
+    if args.cmd == "curves":
+        from ndivplanning_tpu.utils.viz import plot_run_curves
+
+        metrics_path = os.path.join(args.workdir, "metrics.jsonl")
+        if not os.path.exists(metrics_path):
+            print(f"error: no metrics.jsonl in {args.workdir!r} "
+                  "(pass a train run's --workdir)", file=sys.stderr)
+            return 2
+        rows = []
+        with open(metrics_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+        _, n_train, n_eval = plot_run_curves(
+            rows, path=args.out, title=os.path.basename(
+                os.path.normpath(args.workdir)))
+        print(json.dumps({"out": args.out, "train_rows": n_train,
+                          "eval_rows": n_eval}))
+        return 0
 
     cfg = _build_config(args)
 
@@ -467,6 +505,32 @@ def main(argv=None) -> int:
             "n_candidates": int(result.scores.shape[0]),
             **out,
         }))
+        return 0
+
+    if args.cmd == "viz" and args.mpc:
+        from ndivplanning_tpu.data.scenes import random_scene
+        from ndivplanning_tpu.planning.mpc import mpc_rollout
+        from ndivplanning_tpu.planning.server import _condition_for
+        from ndivplanning_tpu.utils.viz import plot_mpc_episode
+
+        state = _load_state(cfg)
+        scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
+        condition = _condition_for(cfg, scene)
+        r = mpc_rollout(cfg, state, scene, condition,
+                        jax.random.PRNGKey(cfg.seed + 4),
+                        total_steps=args.mpc_steps,
+                        replan_every=args.mpc_replan,
+                        n_candidates=args.mpc_candidates)
+        reached, collided, positions = jax.device_get(
+            (r.reached, r.collided, r.positions))
+        plot_mpc_episode(scene, positions, reached=reached,
+                         collided=collided, replan_every=args.mpc_replan,
+                         path=args.out,
+                         title=f"{cfg.name}: MPC {args.mpc_steps} steps, "
+                               f"{int(r.n_replans)} replans")
+        print(json.dumps({"out": args.out, "reached": float(reached),
+                          "collided": float(collided),
+                          "n_replans": int(r.n_replans)}))
         return 0
 
     if args.cmd == "viz":

@@ -85,3 +85,77 @@ def plot_loss_curves(history, path: str | None = None):
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def plot_mpc_episode(scene, positions, reached=None, collided=None,
+                     replan_every: int | None = None,
+                     path: str | None = None, title: str = ""):
+    """Render one closed-loop MPC episode: the executed path colored by
+    time, with replan points marked.
+
+    ``positions: [T, 2]`` executed states; ``replan_every`` marks every
+    k-th state (where a new plan was drawn).  Returns the figure; saves
+    to ``path`` if given.
+    """
+    plt = _mpl()
+    pos = np.asarray(positions)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    plot_scene(ax, scene)
+    t = np.linspace(0.0, 1.0, len(pos))
+    for i in range(len(pos) - 1):
+        ax.plot(pos[i:i + 2, 0], pos[i:i + 2, 1], "-",
+                color=plt.cm.plasma(t[i]), lw=2)
+    if replan_every:
+        marks = pos[::replan_every]
+        ax.plot(marks[:, 0], marks[:, 1], "o", color="k", markersize=4,
+                fillstyle="none", label="replan")
+        ax.legend(loc="lower right")
+    bits = [title] if title else []
+    if reached is not None:
+        bits.append(f"reached={float(reached):.0f}")
+    if collided is not None:
+        bits.append(f"collided={float(collided):.0f}")
+    ax.set_title("  ".join(bits))
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_run_curves(rows, path: str | None = None, title: str = ""):
+    """Two-panel training report from metrics.jsonl rows: losses over
+    steps (log y) and the eval-metric curves (rows with kind='eval').
+
+    Returns (figure, n_train_rows, n_eval_rows); saves to ``path`` if
+    given.
+    """
+    plt = _mpl()
+    train = [r for r in rows if r.get("kind") != "eval" and "step" in r]
+    evals = [r for r in rows if r.get("kind") == "eval"]
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    ax = axes[0]
+    steps = [r["step"] for r in train]
+    for key in ("d_loss", "g_adv", "g_ndiv", "g_total"):
+        vals = [r[key] for r in train if key in r]
+        if vals:
+            ax.plot(steps[:len(vals)], vals, label=key, lw=1)
+    ax.set_xlabel("step")
+    ax.set_title("losses")
+    ax.legend(fontsize=8)
+    ax = axes[1]
+    esteps = [r["step"] for r in evals]
+    for key in ("eval_success_rate", "eval_collision_rate",
+                "eval_mean_pairwise_dist", "raw_eval_success_rate"):
+        vals = [r[key] for r in evals if key in r]
+        if vals:
+            ax.plot(esteps[:len(vals)], vals, "-o", label=key,
+                    lw=1, markersize=3)
+    ax.set_xlabel("step")
+    ax.set_ylim(-0.02, 1.05)
+    ax.set_title("frozen-suite eval")
+    ax.legend(fontsize=8)
+    fig.suptitle(title)
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig, len(train), len(evals)

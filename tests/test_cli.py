@@ -177,3 +177,31 @@ def test_serve_tcp_cli_end_to_end(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_viz_mpc_and_curves(tmp_path, capsys):
+    pytest.importorskip("matplotlib")
+    wd = str(tmp_path / "run")
+    rc = main(["train", "--preset", "pointmass2d", "--batch-size", "8",
+               "--k", "4", "--steps", "60", "--set", "eval_every=30",
+               "--workdir", wd])
+    assert rc == 0
+    capsys.readouterr()
+    png = str(tmp_path / "ep.png")
+    rc = main(["viz", "--workdir", wd, "--out", png, "--mpc",
+               "--mpc-steps", "8", "--mpc-replan", "4",
+               "--mpc-candidates", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["out"] == png and out["n_replans"] == 2
+    import os
+    assert os.path.exists(png)
+    curves = str(tmp_path / "curves.png")
+    rc = main(["curves", "--workdir", wd, "--out", curves])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["train_rows"] > 0 and os.path.exists(curves)
+    # missing metrics.jsonl is a clean usage error, not a traceback
+    rc = main(["curves", "--workdir", str(tmp_path / "nope"),
+               "--out", curves])
+    assert rc == 2
