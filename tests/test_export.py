@@ -210,12 +210,10 @@ def test_mpc_export_matches_live_rollout_batch(tmp_path):
 
 def test_planner_export_is_env_family_agnostic(tmp_path):
     """The exported planner bakes the env dispatch into the StableHLO
-    program: a bundle built with env=unicycle or env=reacher must
+    program: a bundle built with any non-default family must
     reproduce the corresponding live plan exactly (the registry is a
     jit-static branch, so each family is simply a different program)."""
-    import pytest
-
-    for env in ("unicycle", "reacher"):
+    for env in ("unicycle", "reacher", "quadrotor"):
         cfg = _small(env=env)
         state = create_train_state(cfg)
         out = tmp_path / env
