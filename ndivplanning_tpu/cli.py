@@ -570,6 +570,10 @@ def main(argv=None) -> int:
         from ndivplanning_tpu.planning.server import serve, warmup
 
         state = _load_state(cfg)
+        # `reload` protocol line: zero-downtime re-load of the workdir's
+        # (possibly newer) best checkpoint — a train loop writing
+        # <workdir>/best can feed a live server.
+        reload_fn = (lambda: _load_state(cfg)) if cfg.workdir else None
         if args.warmup or args.warmup_mpc:  # --warmup-mpc implies --warmup
             secs = warmup(cfg, state, refine=args.refine,
                           mpc=args.warmup_mpc)
@@ -581,7 +585,8 @@ def main(argv=None) -> int:
             server = serve_tcp(cfg, state, host=args.host, port=args.tcp,
                                refine=args.refine,
                                overlap=not args.no_overlap,
-                               cross_batch=args.cross_batch)
+                               cross_batch=args.cross_batch,
+                               reload_fn=reload_fn)
             host, port = server.server_address[:2]
             # One parseable readiness line (stdout): clients/orchestrators
             # wait for it instead of polling the port.
@@ -596,7 +601,7 @@ def main(argv=None) -> int:
             print(json.dumps({"served": server.lines_served}))
             return 0
         served = serve(cfg, state, refine=args.refine,
-                       overlap=not args.no_overlap)
+                       overlap=not args.no_overlap, reload_fn=reload_fn)
         print(json.dumps({"served": served}))
         return 0
 

@@ -140,6 +140,16 @@ class PlanningClient:
         dispatches, requests, mean dispatch batch, pad fraction."""
         return self._send_line("stats")
 
+    def reload(self) -> dict:
+        """Hot-swap the server to its workdir's latest best checkpoint
+        (the `reload` protocol line; zero recompiles).  Returns
+        ``{"reloaded": true, "step": N}`` or raises
+        :class:`ServerError`."""
+        resp = self._send_line("reload")
+        if isinstance(resp, dict) and "error" in resp:
+            raise ServerError(resp["error"])
+        return resp
+
     # -- lifecycle -------------------------------------------------------
 
     def close(self) -> None:

@@ -601,6 +601,14 @@ class _CrossBatcher:
                     self._fail(rest, "server shutting down")
         return pendings
 
+    def set_state(self, state: TrainState) -> None:
+        """Hot-swap the served weights (the `reload` protocol line).
+        A plain reference swap: dispatches already in flight finish on
+        the old state; the next dispatch reads the new one.  Same
+        pytree shapes -> the per-bucket compiled programs are reused,
+        zero recompiles."""
+        self._state = state
+
     def close(self) -> None:
         self._closed = True
         self._q.put(None)
@@ -671,7 +679,8 @@ class _CrossBatcher:
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
           stdout: IO[str] = sys.stdout, seed: int = 0,
           max_coalesce: int = BUCKETS[-1], refine: str = "none",
-          overlap: bool = True, batcher: _CrossBatcher | None = None) -> int:
+          overlap: bool = True, batcher: _CrossBatcher | None = None,
+          reload_fn=None) -> int:
     """Blocking request loop; returns number of request lines answered.
 
     Each input line is either one request object or an array of request
@@ -689,7 +698,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     writer = _ResponseWriter(stdout, overlap)
     try:
         n = _serve_loop(cfg, state, source, writer, key, max_coalesce,
-                        refine, batcher=batcher)
+                        refine, batcher=batcher, reload_fn=reload_fn)
     except BaseException:
         # Flush/stop the writer without letting a secondary write error
         # (dead client pipe) mask the loop's own exception; bounded wait
@@ -707,7 +716,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
 def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
               port: int = 0, seed: int = 0, refine: str = "none",
               overlap: bool = True, max_coalesce: int = BUCKETS[-1],
-              cross_batch: bool = False):
+              cross_batch: bool = False, reload_fn=None):
     """Network serving: the same JSON-lines protocol over TCP.
 
     Returns a ``ThreadingTCPServer`` already bound (``port=0`` picks an
@@ -749,7 +758,7 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
                 n = serve(cfg, state, stdin=reader, stdout=writer,
                           seed=seed + conn_id, refine=refine,
                           overlap=overlap, max_coalesce=max_coalesce,
-                          batcher=batcher)
+                          batcher=batcher, reload_fn=reload_fn)
                 with server._lock:
                     server.lines_served += n
             except (BrokenPipeError, ConnectionResetError):
@@ -800,30 +809,21 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
 def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 writer: _ResponseWriter, key: jax.Array,
                 max_coalesce: int, refine: str,
-                batcher: _CrossBatcher | None = None) -> int:
+                batcher: _CrossBatcher | None = None,
+                reload_fn=None) -> int:
     n = 0
     stop = False
-    while not stop:
-        first = source.readline()
-        if first == "":
-            break
-        lines = [first]
-        lines += source.drain(max_coalesce - 1)
-        # One arrival stamp for the whole burst: every line was already
-        # sitting in the pipe when we woke, so "now" is the earliest
-        # honest arrival we can observe.  Requests in later chunks of
-        # the burst then show queue time behind earlier dispatches.
-        t_arrive = time.perf_counter()
 
+    def process_segment(seg_lines: list[str], t_arrive: float) -> None:
+        """Parse + dispatch + flush one reload-free run of burst lines
+        (the pre-reload serving semantics, unchanged)."""
+        nonlocal n, key, stop
         # units: per answered line, (kind, payload, start, count) —
         # [start, start+count) is the line's slice of the flat request
         # list (count 0 for parse errors, which carry their payload).
         units: list[tuple[str, object, int, int]] = []
         flat: list[dict] = []
-        for raw in lines:
-            raw = raw.strip()
-            if not raw:
-                continue
+        for raw in seg_lines:
             if raw == "stats":
                 # Observability probe: answered from the process-level
                 # counters (includes warmup dispatches), no device work.
@@ -899,4 +899,51 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                              arrivals=[t_arrive] * len(flat),
                              on_progress=flush_ready, out=answers)
         flush_ready()  # error-only bursts + anything not yet flushed
+
+    while not stop:
+        first = source.readline()
+        if first == "":
+            break
+        lines = [first]
+        lines += source.drain(max_coalesce - 1)
+        # One arrival stamp for the whole burst: every line was already
+        # sitting in the pipe when we woke, so "now" is the earliest
+        # honest arrival we can observe.  Requests in later chunks of
+        # the burst then show queue time behind earlier dispatches.
+        t_arrive = time.perf_counter()
+        # A `reload` line is a SEGMENT BOUNDARY: everything before it in
+        # the burst is dispatched on the old weights first, then the
+        # swap happens, then the rest of the burst runs on the new ones
+        # — "reload applies to requests after it", exactly the pipelined
+        # client's reading.  Same pytree shapes, so the per-bucket
+        # compiled programs are reused (zero recompiles; a train loop
+        # writing <workdir>/best can feed a live server).
+        segment: list[str] = []
+        for raw in lines:
+            raw = raw.strip()
+            if not raw:
+                continue
+            if raw != "reload":
+                segment.append(raw)
+                continue
+            process_segment(segment, t_arrive)
+            segment = []
+            if reload_fn is None:
+                payload = {"error": "reload unavailable: server was "
+                                    "started without a checkpoint "
+                                    "source"}
+            else:
+                new_state = reload_fn()
+                if new_state is None:
+                    payload = {"error": "reload failed: no checkpoint "
+                                        "found"}
+                else:
+                    state = new_state
+                    if batcher is not None:
+                        batcher.set_state(new_state)
+                    payload = {"reloaded": True,
+                               "step": int(new_state.step)}
+            writer.push(payload)
+            n += 1
+        process_segment(segment, t_arrive)
     return n

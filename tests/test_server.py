@@ -676,3 +676,91 @@ def test_stats_protocol_line():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_reload_hot_swaps_weights_zero_recompile():
+    """The `reload` line swaps the served weights mid-session: plans
+    change, step is reported, NO recompilation happens (same pytree
+    shapes), and requests after the reload in the SAME burst already
+    use the new state.  Without a checkpoint source the line errors
+    cleanly."""
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.utils.compile_guard import count_compiles
+
+    cfg = _cfg()
+    state_a = create_train_state(cfg, seed=0)
+    state_b = create_train_state(cfg, seed=1)
+    req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]})
+
+    def plan_once(state, reload_lines="", reload_fn=None):
+        stdin = io.StringIO(reload_lines + req + "\nquit\n")
+        stdout = io.StringIO()
+        serve(cfg, state, stdin=stdin, stdout=stdout, reload_fn=reload_fn)
+        return [json.loads(l) for l in stdout.getvalue().splitlines()]
+
+    base = plan_once(state_a)[0]
+    swapped = plan_once(state_b)[0]
+    assert base["best_traj"] != swapped["best_traj"]  # distinct weights
+
+    # One serve session: plan on A, reload -> B, plan again.  The
+    # reload answer is in protocol order; the pre-reload plan ran on
+    # the OLD weights (reload is a segment boundary, not
+    # whole-burst-retroactive) and the post-reload one matches B's plan
+    # at the session's exact key stream (one split per segment).
+    state_b = state_b.replace(step=jnp.asarray(123, jnp.int32))
+    stdin = io.StringIO(req + "\nreload\n" + req + "\nquit\n")
+    stdout = io.StringIO()
+    with count_compiles() as rec:
+        served = serve(cfg, state_a, stdin=stdin, stdout=stdout,
+                       reload_fn=lambda: state_b)
+    assert served == 3
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert lines[0]["best_traj"] == base["best_traj"]
+    assert lines[1] == {"reloaded": True, "step": 123}
+    from ndivplanning_tpu.planning.server import handle_batch
+
+    key = jax.random.PRNGKey(0)
+    key, _sub1 = jax.random.split(key)  # segment 1's draw (state A)
+    _key, sub2 = jax.random.split(key)  # segment 2's draw (state B)
+    want = handle_batch(cfg, state_b, [json.loads(req)], sub2)[0]
+    assert lines[2]["best_traj"] == want["best_traj"]
+    assert rec.count == 0, f"reload recompiled: {rec.names}"
+
+    # No reload_fn (no workdir): clean per-line error, serving continues.
+    lines = plan_once(state_a, reload_lines="reload\n")
+    assert "error" in lines[0] and "best_traj" in lines[1]
+    # reload_fn finding no checkpoint: clean error too.
+    lines = plan_once(state_a, reload_lines="reload\n",
+                      reload_fn=lambda: None)
+    assert "error" in lines[0] and "best_traj" in lines[1]
+
+
+def test_reload_swaps_cross_batcher_state():
+    """In cross-batch TCP mode a reload must swap the DISPATCHER's
+    state — the connection-local rebind alone would leave other
+    clients on the old weights."""
+    from ndivplanning_tpu.planning.client import PlanningClient
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    cfg = _cfg()
+    state_a = create_train_state(cfg, seed=0)
+    state_b = create_train_state(cfg, seed=1)
+    server = serve_tcp(cfg, state_a, port=0, cross_batch=True,
+                       reload_fn=lambda: state_b)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with PlanningClient.tcp(host, port) as c1:
+            before = c1.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
+            info = c1.reload()
+            assert info["reloaded"] is True
+        # A DIFFERENT connection (fresh serve loop, same batcher) now
+        # serves the swapped weights.
+        with PlanningClient.tcp(host, port) as c2:
+            after = c2.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
+        assert before["best_traj"] != after["best_traj"]
+    finally:
+        server.shutdown()
+        server.server_close()
