@@ -253,6 +253,12 @@ def main(argv=None) -> int:
                                 "cycle (must divide --mpc-steps)")
             p.add_argument("--mpc-candidates", type=int, default=256,
                            help="candidate trajectories per replan")
+            p.add_argument("--sharded", action="store_true",
+                           help="shard the candidate axis over the "
+                                "device mesh (cfg dp_shards x div_shards"
+                                ") — the single-scene latency path on a "
+                                "pod; identical result to the unsharded "
+                                "plan (parallel/sharded_plan.py)")
         if name == "serve":
             p.add_argument("--tcp", type=int, default=None, metavar="PORT",
                            help="serve the JSON-lines protocol over TCP "
@@ -496,6 +502,18 @@ def main(argv=None) -> int:
             result, loss_curve = plan_grad(cfg, state, scene, condition,
                                            jax.random.PRNGKey(cfg.seed + 4))
             out["soft_loss_curve"] = [float(s) for s in loss_curve]
+        elif args.sharded:
+            from ndivplanning_tpu.parallel.mesh import make_mesh
+            from ndivplanning_tpu.parallel.sharded_plan import (
+                make_sharded_plan,
+            )
+            from ndivplanning_tpu.parallel.sharded_step import shard_state
+
+            mesh = make_mesh(cfg=cfg)
+            plan_fn, _ = make_sharded_plan(cfg, mesh)
+            result = plan_fn(shard_state(state, mesh), scene, condition,
+                             jax.random.PRNGKey(cfg.seed + 4))
+            out["mesh"] = f"{cfg.dp_shards}x{cfg.div_shards}"
         else:
             result = plan(cfg, state, scene, condition,
                           jax.random.PRNGKey(cfg.seed + 4))

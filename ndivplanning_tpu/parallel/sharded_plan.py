@@ -1,0 +1,101 @@
+"""Candidate-axis sharded planning: ONE scene's candidates over the mesh.
+
+SURVEY.md §3.3's planning loop at pod scale has two parallel axes.
+``plan_batch`` shards the SCENE axis over ``dp`` (the throughput /
+eval-suite path — tests/test_parallel.py::test_plan_batch_shards_over_dp),
+but a latency-critical single-scene request under that layout leaves
+every device except one idle.  :func:`make_sharded_plan` shards the
+CANDIDATE axis instead: the 1000-candidate generate → rollout → select
+pipeline is embarrassingly parallel over candidates until the final
+selection, which needs only the N scores plus the better-scoring half of
+the trajectories (N=1000, H=32, S=4 → ~0.5 MB) gathered over ICI.
+
+Same-program-with-sharding-constraints pattern as
+``make_sharded_train_step`` (parallel/sharded_step.py): the body is
+``_plan_impl``'s exact math with ``with_sharding_constraint`` pinning the
+candidate axis to the full mesh, so XLA's SPMD partitioner splits the
+generator matmuls and the vmapped ``lax.scan`` rollouts per device and
+inserts the gathers for the replicated selection.  Parity with the
+unsharded :func:`~ndivplanning_tpu.planning.planner.plan` is structural
+(identical program) and pinned numerically on the virtual 8-device mesh
+(tests/test_parallel.py::test_sharded_plan_matches_unsharded).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ndivplanning_tpu.envs.rollout import ScoreWeights
+from ndivplanning_tpu.envs.types import Scene
+from ndivplanning_tpu.parallel.mesh import DIV_AXIS, DP_AXIS, make_mesh
+from ndivplanning_tpu.planning.planner import (
+    PlanResult,
+    _diverse_top_m,
+    generate_candidates,
+    score_rollouts,
+)
+from ndivplanning_tpu.train.state import TrainState
+from ndivplanning_tpu.utils.config import Config
+
+
+def make_sharded_plan(cfg: Config, mesh: Mesh | None = None,
+                      n_candidates: int | None = None, n_diverse: int = 8,
+                      weights: ScoreWeights = ScoreWeights()):
+    """Build the jitted candidate-sharded single-scene planner.
+
+    Returns ``(plan_fn, mesh)`` with
+    ``plan_fn(state, scene, condition, key) -> PlanResult``; ``state``
+    should be replicated (``shard_state``), scene/condition/key are
+    replicated scalars from XLA's point of view.  The candidate axis is
+    sharded over BOTH mesh axes — planning has no diversity-sample axis,
+    so ``div`` devices join the candidate split rather than idling.
+
+    ``n_candidates`` need not divide the device count: the internal
+    constraints still split the compute (GSPMD pads the uneven shard),
+    but the candidate-axis OUTPUT layout is only pinned when N divides
+    the mesh (``jit out_shardings`` rejects uneven explicit layouts).
+    """
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    n = cfg.n_candidates if n_candidates is None else n_candidates
+    cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
+    replicated = NamedSharding(mesh, P())
+
+    def body(state: TrainState, scene: Scene, condition: jnp.ndarray,
+             key: jax.Array) -> PlanResult:
+        taus = generate_candidates(cfg, state, condition, key, n)
+        taus = jax.lax.with_sharding_constraint(taus, cand)
+        results = score_rollouts(cfg, scene, taus, weights)
+        scores = jax.lax.with_sharding_constraint(results.score, cand)
+
+        # NaN-safe selection, identical to _plan_impl.
+        sel_scores = jnp.where(jnp.isfinite(scores), scores, jnp.inf)
+        best = jnp.argmin(sel_scores)
+        flat = taus.reshape(n, -1)
+        diverse_idx = _diverse_top_m(flat, sel_scores, n_diverse)
+        return PlanResult(
+            best_traj=taus[best],
+            best_score=results.score[best],
+            best_reached=results.reached[best],
+            diverse_idx=diverse_idx,
+            diverse_trajs=taus[diverse_idx],
+            scores=results.score,
+            taus=taus,
+        )
+
+    even = n % (mesh.shape[DP_AXIS] * mesh.shape[DIV_AXIS]) == 0
+    if even:
+        # [N] / [N, H, S] stay sharded; callers fetch only the small
+        # replicated fields.  Uneven N: leave the output layout to GSPMD
+        # (explicit uneven out_shardings are rejected by jit).
+        out = PlanResult(
+            best_traj=replicated, best_score=replicated,
+            best_reached=replicated, diverse_idx=replicated,
+            diverse_trajs=replicated, scores=cand, taus=cand,
+        )
+        plan_fn = jax.jit(body, out_shardings=out)
+    else:
+        plan_fn = jax.jit(body)
+    return plan_fn, mesh

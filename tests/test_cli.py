@@ -31,6 +31,29 @@ def test_plan_command(tmp_path, capsys):
     assert out["n_candidates"] == 1000
 
 
+def test_plan_sharded_matches_unsharded(tmp_path, capsys):
+    # `plan --sharded` over the 8-virtual-device mesh must report the
+    # same plan as the unsharded path (same program + constraints).
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    common = ["plan", "--preset", "pointmass2d", "--batch-size", "4",
+              "--k", "4", "--workdir", str(tmp_path),
+              "--set", "n_candidates=64"]
+    rc = main(common)
+    assert rc == 0
+    want = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = main(common + ["--sharded", "--set", "dp_shards=4",
+                        "--set", "div_shards=2"])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["mesh"] == "4x2"
+    assert got["best_score"] == pytest.approx(want["best_score"], rel=1e-5)
+    assert got["best_reached"] == want["best_reached"]
+
+
 def test_plan_refine_cem(tmp_path, capsys):
     rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
                "--k", "4", "--workdir", str(tmp_path), "--refine", "cem",

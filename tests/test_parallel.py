@@ -201,6 +201,47 @@ def test_plan_batch_shards_over_dp():
     assert np.all(np.isfinite(np.asarray(result.best_score)))
 
 
+@pytest.mark.parametrize("dp,div,n", [(8, 1, 64), (4, 2, 64), (8, 1, 100)])
+def test_sharded_plan_matches_unsharded(dp, div, n):
+    # Candidate-axis sharding for the latency path: same program with
+    # constraints, so the sharded single-scene plan must reproduce the
+    # unsharded plan() bit-for-bit-ish (1-ulp XLA program drift allowed).
+    # n=100 exercises GSPMD's uneven-shard padding (100 % 8 != 0).
+    from ndivplanning_tpu.data.scenes import random_scene
+    from ndivplanning_tpu.parallel.sharded_plan import make_sharded_plan
+    from ndivplanning_tpu.planning.planner import plan
+
+    cfg = get_config("pod_dp", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8,
+                     conditioning="startgoal", dp_shards=dp, div_shards=div)
+    state = create_train_state(cfg)
+    mesh = make_mesh(dp=dp, div=div)
+    state_r = shard_state(state, mesh)
+    scene = random_scene(jax.random.PRNGKey(0))
+    condition = jnp.concatenate([scene.start, scene.goal], axis=-1)
+    key = jax.random.PRNGKey(1)
+
+    plan_fn, _ = make_sharded_plan(cfg, mesh, n_candidates=n, n_diverse=4)
+    got = plan_fn(state_r, scene, condition, key)
+    want = plan(cfg, state, scene, condition, key, n_candidates=n,
+                n_diverse=4)
+
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.best_traj),
+                               np.asarray(want.best_traj), rtol=1e-5,
+                               atol=1e-6)
+    assert int(got.diverse_idx[0]) == int(want.diverse_idx[0])
+    assert float(got.best_score) == pytest.approx(float(want.best_score),
+                                                  rel=1e-5)
+    if n % 8 == 0:
+        # Output layout contract: the candidate set stays sharded.
+        assert got.taus.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+                ("dp", "div"))), got.taus.ndim)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(dp=64, div=2)
