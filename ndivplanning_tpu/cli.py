@@ -490,6 +490,11 @@ def main(argv=None) -> int:
         scene = random_scene(jax.random.PRNGKey(cfg.seed + 3))
         condition = _condition_for(cfg, scene)
         out = {}
+        if args.sharded and args.refine != "none":
+            print("--sharded applies to the one-shot planner only; "
+                  "drop --refine or run the refinement unsharded",
+                  file=sys.stderr)
+            return 2
         if args.refine == "cem":
             from ndivplanning_tpu.planning.cem import plan_cem
 

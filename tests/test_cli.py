@@ -54,6 +54,12 @@ def test_plan_sharded_matches_unsharded(tmp_path, capsys):
     assert got["best_reached"] == want["best_reached"]
 
 
+def test_plan_sharded_rejects_refine(tmp_path):
+    rc = main(["plan", "--preset", "pointmass2d", "--workdir",
+               str(tmp_path), "--sharded", "--refine", "cem"])
+    assert rc == 2
+
+
 def test_plan_refine_cem(tmp_path, capsys):
     rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
                "--k", "4", "--workdir", str(tmp_path), "--refine", "cem",
