@@ -9,7 +9,10 @@ hooks here are where they would slot in).
 """
 
 from ndivplanning_tpu.parallel.mesh import make_mesh
-from ndivplanning_tpu.parallel.sharded_plan import make_sharded_plan
+from ndivplanning_tpu.parallel.sharded_plan import (
+    make_sharded_cem,
+    make_sharded_plan,
+)
 from ndivplanning_tpu.parallel.sharded_step import (
     make_sharded_train_step,
     ndiv_loss_sharded,
@@ -18,6 +21,7 @@ from ndivplanning_tpu.parallel.sharded_step import (
 
 __all__ = [
     "make_mesh",
+    "make_sharded_cem",
     "make_sharded_plan",
     "make_sharded_train_step",
     "ndiv_loss_sharded",

@@ -99,3 +99,44 @@ def make_sharded_plan(cfg: Config, mesh: Mesh | None = None,
     else:
         plan_fn = jax.jit(body)
     return plan_fn, mesh
+
+
+def make_sharded_cem(cfg: Config, mesh: Mesh | None = None,
+                     n_candidates: int | None = None,
+                     n_elite: int | None = None,
+                     n_iters: int | None = None, momentum: float = 0.25,
+                     sigma_floor: float = 0.05, n_diverse: int = 8,
+                     weights: ScoreWeights = ScoreWeights()):
+    """Candidate-sharded CEM refinement (the measured-best planning mode
+    on a pod's latency path).
+
+    Same construction as :func:`make_sharded_plan`, threaded through
+    ``_cem_impl``'s ``constrain`` hook: every iteration's population
+    draw → decode → rollout is pinned ``P(('dp','div'))`` on the
+    population axis, the elite refit (top-k over the [n] scores +
+    mean/std of [n_elite, zdim] latents — bytes, not megabytes) runs
+    replicated, and the scan keeps all ``cem_iters`` iterations inside
+    one program with the collectives in the scan body.
+
+    Returns ``(cem_fn, mesh)``;
+    ``cem_fn(state, scene, condition, key) -> (PlanResult, best_curve)``
+    is numerically the unsharded :func:`~ndivplanning_tpu.planning.cem.
+    plan_cem` (same draws — the constraint changes layout, not values).
+    """
+    from ndivplanning_tpu.planning.cem import _cem_impl, cem_population
+
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    n, default_elite, iters = cem_population(cfg, n_candidates, n_iters)
+    elite = default_elite if n_elite is None else n_elite
+    cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
+
+    def body(state: TrainState, scene: Scene, condition: jnp.ndarray,
+             key: jax.Array):
+        return _cem_impl(
+            cfg, state, scene, condition, key, n, elite, iters,
+            momentum, sigma_floor, n_diverse, weights,
+            constrain=lambda a: jax.lax.with_sharding_constraint(a, cand),
+        )
+
+    return jax.jit(body), mesh

@@ -46,15 +46,21 @@ def _cem_impl(cfg: Config, state: TrainState, scene: Scene,
               condition: jnp.ndarray, key: jax.Array, n: int,
               n_elite: int, n_iters: int, momentum: float,
               sigma_floor: float, n_diverse: int,
-              weights: ScoreWeights) -> tuple[PlanResult, jnp.ndarray]:
+              weights: ScoreWeights,
+              constrain=None) -> tuple[PlanResult, jnp.ndarray]:
     zdim = cfg.latent_dim
+    # ``constrain`` (optional) pins population-axis arrays to a mesh
+    # layout — the candidate-sharding hook (parallel/sharded_plan.py::
+    # make_sharded_cem).  Identity when unsharded.
+    cst = constrain if constrain is not None else (lambda a: a)
 
     def iteration(carry, _):
         mu, sigma, best_z, best_score, key = carry
         key, sub = jax.random.split(key)
-        z = mu + sigma * jax.random.normal(sub, (n, zdim))
-        taus = _decode(cfg, state, condition, z)
+        z = cst(mu + sigma * jax.random.normal(sub, (n, zdim)))
+        taus = cst(_decode(cfg, state, condition, z))
         results = score_rollouts(cfg, scene, taus, weights)
+        results = results._replace(score=cst(results.score))
         # NaN candidates must not become elites: top_k(-scores) ranks
         # NaN first, which would poison mu/sigma for every remaining
         # iteration (the best-so-far guard below already rejects them,
@@ -96,9 +102,10 @@ def _cem_impl(cfg: Config, state: TrainState, scene: Scene,
     # reproduces its trajectory exactly).
     key, sub = jax.random.split(key)
     z = mu + sigma * jax.random.normal(sub, (n, zdim))
-    z = z.at[0].set(best_z)
-    taus = _decode(cfg, state, condition, z)
+    z = cst(z.at[0].set(best_z))
+    taus = cst(_decode(cfg, state, condition, z))
     results = score_rollouts(cfg, scene, taus, weights)
+    results = results._replace(score=cst(results.score))
 
     # Same NaN guard for the final selection: argmin over NaN picks the
     # NaN. Slot 0 (the tracked best) is finite whenever any iteration
