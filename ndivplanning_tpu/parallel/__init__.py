@@ -11,6 +11,7 @@ hooks here are where they would slot in).
 from ndivplanning_tpu.parallel.mesh import make_mesh
 from ndivplanning_tpu.parallel.sharded_plan import (
     make_sharded_cem,
+    make_sharded_grad,
     make_sharded_plan,
 )
 from ndivplanning_tpu.parallel.sharded_step import (
@@ -22,6 +23,7 @@ from ndivplanning_tpu.parallel.sharded_step import (
 __all__ = [
     "make_mesh",
     "make_sharded_cem",
+    "make_sharded_grad",
     "make_sharded_plan",
     "make_sharded_train_step",
     "ndiv_loss_sharded",

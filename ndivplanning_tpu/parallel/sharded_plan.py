@@ -140,3 +140,44 @@ def make_sharded_cem(cfg: Config, mesh: Mesh | None = None,
         )
 
     return jax.jit(body), mesh
+
+
+def make_sharded_grad(cfg: Config, mesh: Mesh | None = None,
+                      n_candidates: int | None = None,
+                      n_steps: int | None = None, lr: float = 0.1,
+                      soft=None, n_diverse: int = 8,
+                      weights: ScoreWeights = ScoreWeights()):
+    """Candidate-sharded gradient refinement: the Adam-through-G-and-env
+    loop (planning/grad_refine.py) with the population axis pinned over
+    the mesh.  Each Adam step's forward+backward rollout pass is
+    embarrassingly parallel over candidates (the soft objective is a sum
+    of per-candidate terms, so its gradient never crosses candidates);
+    only the final union hard-score selection gathers.
+
+    Returns ``(grad_fn, mesh)``;
+    ``grad_fn(state, scene, condition, key) -> (PlanResult, loss_curve)``
+    numerically matches the unsharded
+    :func:`~ndivplanning_tpu.planning.grad_refine.plan_grad`.
+    """
+    from ndivplanning_tpu.planning.grad_refine import (
+        SoftWeights,
+        _grad_impl,
+    )
+
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    n = (max(cfg.n_candidates // 4, 2)
+         if n_candidates is None else n_candidates)
+    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    soft = SoftWeights() if soft is None else soft
+    cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
+
+    def body(state: TrainState, scene: Scene, condition: jnp.ndarray,
+             key: jax.Array):
+        return _grad_impl(
+            cfg, state, scene, condition, key, n, steps, lr, soft,
+            n_diverse, weights,
+            constrain=lambda a: jax.lax.with_sharding_constraint(a, cand),
+        )
+
+    return jax.jit(body), mesh

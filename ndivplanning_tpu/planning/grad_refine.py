@@ -102,8 +102,11 @@ def _soft_objective(cfg: Config, state: TrainState, scene: Scene,
 def _grad_impl(cfg: Config, state: TrainState, scene: Scene,
                condition: jnp.ndarray, key: jax.Array, n: int,
                n_steps: int, lr: float, soft: SoftWeights,
-               n_diverse: int, weights: ScoreWeights):
-    z0 = jax.random.normal(key, (n, cfg.latent_dim))
+               n_diverse: int, weights: ScoreWeights, constrain=None):
+    # ``constrain``: candidate-axis mesh-layout hook, identity when
+    # unsharded (see planning/cem.py and parallel/sharded_plan.py).
+    cst = constrain if constrain is not None else (lambda a: a)
+    z0 = cst(jax.random.normal(key, (n, cfg.latent_dim)))
     opt = optax.adam(lr)
     obj = functools.partial(_soft_objective, cfg, state, scene, condition,
                             soft=soft)
@@ -112,16 +115,17 @@ def _grad_impl(cfg: Config, state: TrainState, scene: Scene,
         z, opt_state = carry
         loss, grads = jax.value_and_grad(obj)(z)
         updates, opt_state = opt.update(grads, opt_state, z)
-        return (optax.apply_updates(z, updates), opt_state), loss
+        return (cst(optax.apply_updates(z, updates)), opt_state), loss
 
     (z_ref, _), loss_curve = jax.lax.scan(step, (z0, opt.init(z0)), None,
                                           length=n_steps)
 
     # Honest selection: hard-score the union of prior and refined
     # candidates — the result can only improve on the prior draw.
-    taus = jnp.concatenate([_decode(cfg, state, condition, z0),
-                            _decode(cfg, state, condition, z_ref)])
+    taus = cst(jnp.concatenate([_decode(cfg, state, condition, z0),
+                                _decode(cfg, state, condition, z_ref)]))
     results = score_rollouts(cfg, scene, taus, weights)
+    results = results._replace(score=cst(results.score))
     # NaN-safe selection (see cem.py): a NaN-scored refined candidate
     # must not beat the finite prior draw via argmin/top-k.
     sel_scores = jnp.where(jnp.isfinite(results.score), results.score,
