@@ -79,6 +79,31 @@ def main() -> None:
                      n_diverse=8).best_score, 20)
 
     parity = abs(float(sharded.best_score) - float(base.best_score))
+
+    # The refinement planners' sharded programs: compile + one honest
+    # call each (CEM is the measured-best planning mode — its pod
+    # latency path must be TPU-compile-proven too).
+    from ndivplanning_tpu.parallel.sharded_plan import (
+        make_sharded_cem,
+        make_sharded_grad,
+    )
+
+    cem_fn, _ = make_sharded_cem(cfg, mesh)
+    t0 = time.monotonic()
+    cem_out, _curve = cem_fn(state_r, scene, cond, key)
+    np.asarray(cem_out.best_score)
+    cem_compile_s = time.monotonic() - t0
+    cem_lat = _time_calls(
+        lambda: cem_fn(state_r, scene, cond, key)[0].best_score, 10)
+
+    grad_fn, _ = make_sharded_grad(cfg, mesh)
+    t0 = time.monotonic()
+    grad_out, _curve = grad_fn(state_r, scene, cond, key)
+    np.asarray(grad_out.best_score)
+    grad_compile_s = time.monotonic() - t0
+    grad_lat = _time_calls(
+        lambda: grad_fn(state_r, scene, cond, key)[0].best_score, 10)
+
     row = {
         "backend": backend,
         "mesh": f"{n_dev}x1",
@@ -88,6 +113,10 @@ def main() -> None:
         "latency_ms_sharded": round(lat_sharded * 1e3, 3),
         "latency_ms_unsharded": round(lat_base * 1e3, 3),
         "best_score_abs_diff": parity,
+        "cem_compile_s": round(cem_compile_s, 2),
+        "cem_latency_ms": round(cem_lat * 1e3, 3),
+        "grad_compile_s": round(grad_compile_s, 2),
+        "grad_latency_ms": round(grad_lat * 1e3, 3),
     }
     print(json.dumps(row))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
