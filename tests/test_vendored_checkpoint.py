@@ -43,3 +43,43 @@ def test_vendored_planning512_restores_and_scores():
     ev = evaluate_fixed(cfg, best, n_scenes=128)
     assert float(ev["eval_success_rate"]) >= 0.70
     assert float(ev["eval_mean_pairwise_dist"]) >= 0.05
+
+
+def test_vendored_quadrotor150k_restores_and_scores():
+    # The underactuated-family checkpoint behind the measured
+    # closed-loop result (open 0.310 / MPC 1.000 at 512 scenes,
+    # BASELINE.md).  Open-loop 128-slice measured 0.3105 on CPU; the
+    # floor catches corruption, not eval noise.  A 4-episode MPC slice
+    # pins the closed-loop rescue itself (measured 1.0 over the suite).
+    import jax
+
+    from ndivplanning_tpu.planning.mpc import mpc_rollout_batch
+    from ndivplanning_tpu.planning.server import _condition_for
+    from ndivplanning_tpu.train.evaluate import evaluate_fixed, make_eval_suite
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+    from ndivplanning_tpu.utils.config import load_config
+
+    wd = os.path.join(REPO, "checkpoints", "quadrotor150k")
+    if not os.path.isdir(wd):
+        pytest.skip("vendored quadrotor checkpoint not present")
+    cfg = load_config(wd)
+    assert cfg is not None and cfg.env == "quadrotor"
+    assert cfg.lr_schedule == "cosine"
+
+    state = create_train_state(cfg)
+    best = ckpt.restore_latest(os.path.join(wd, "best"), state)
+    assert best is not None
+    assert int(best.step) == 30000
+
+    ev = evaluate_fixed(cfg, best, n_scenes=128)
+    assert float(ev["eval_success_rate"]) >= 0.20
+    assert float(ev["eval_mean_pairwise_dist"]) >= 0.3
+
+    suite = make_eval_suite(cfg, 4)
+    scenes = suite.scenes
+    conds = jax.vmap(lambda s: _condition_for(cfg, s))(scenes)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    r = mpc_rollout_batch(cfg, best, scenes, conds, keys, total_steps=64,
+                          replan_every=8, n_candidates=64)
+    assert float(r.reached.mean()) >= 0.75  # measured 1.0 at suite scale
