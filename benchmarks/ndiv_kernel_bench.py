@@ -53,15 +53,22 @@ def main():
                "backend": jax.default_backend()}
         for name, impl in [("pallas", ndiv_loss_fused),
                            ("jnp", ndiv_loss_reference)]:
-            # lax.scan the grad computation REPS times with per-iteration
-            # perturbed inputs (defeats CSE), accumulate grad sums; one
-            # dispatch + one fetch measures pure sustained compute.
+            # lax.scan the VALUE+grad computation REPS times with
+            # per-iteration perturbed inputs (defeats CSE), accumulating
+            # value and grad sums; one dispatch + one fetch measures pure
+            # sustained compute.  value_and_grad with the VALUE consumed
+            # matters: under plain jax.grad the old two-kernel scheme's
+            # forward pallas_call had no live output and XLA dead-code
+            # -eliminated it, so "fwdbwd" silently measured backward-only
+            # for the kernel (while the jnp column still paid most of its
+            # forward as backward residual computation).
             def gsum(zz, xx, i=impl):
-                g = jax.grad(lambda a, bb: i(a, bb, 0.8), argnums=(0, 1))
+                g = jax.value_and_grad(lambda a, bb: i(a, bb, 0.8),
+                                       argnums=(0, 1))
 
                 def body(c, r):
-                    gz, gx = g(zz + r * 1e-12, xx)
-                    return c + gx[0, 0, 0] + gz[0, 0, 0], None
+                    v, (gz, gx) = g(zz + r * 1e-12, xx)
+                    return c + v + gx[0, 0, 0] + gz[0, 0, 0], None
 
                 init = jnp.float32(0.0)
                 out, _ = jax.lax.scan(

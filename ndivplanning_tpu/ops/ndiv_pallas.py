@@ -29,8 +29,12 @@ so the backward is the same masked-Gram structure plus one MXU matmul
 reference path, ops/ndiv.py): relu' = 0 at exactly 0, d sqrt = 0 at 0,
 0/0-rows normalise to 0.
 
-Residuals: only (z, x) — forward intermediates are recomputed in the
-backward kernel (they are cheap, and this keeps HBM traffic minimal).
+Residuals: for the default "block" variant under differentiation, the
+JOINT kernel computes loss AND unit-cotangent grads in one pass, so the
+residuals are the grads and the backward is a scalar multiply (the loss
+is scalar, so grads scale linearly with the upstream cotangent).  The
+"packed" variant and the unsupported-shape fallback keep (z, x)
+residuals and recompute intermediates in a separate backward kernel.
 """
 
 from __future__ import annotations
@@ -68,6 +72,10 @@ _SUBLANE = 8  # float32 sublane granularity
 _BLOCK_ROW_TILE_TARGET = int(os.environ.get("NDIV_BWD_ROW_TILE", "1024"))
 _BLOCK_ROW_TILE_TARGET_FWD = int(os.environ.get("NDIV_FWD_ROW_TILE",
                                                 "2048"))
+# Joint fwd+grad kernel under differentiation (round 3).  NDIV_JOINT=0
+# restores the fwd-kernel + recompute-backward scheme — kept for
+# same-session A/B measurement (benchmarks/ndiv_kernel_bench.py).
+_JOINT = os.environ.get("NDIV_JOINT", "1") != "0"
 
 
 def _round_up(n: int, m: int) -> int:
@@ -242,6 +250,58 @@ def _bwd_kernel_block(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int,
     dx_ref[:] = gx.reshape(tb * kp, x_ref.shape[-1])
 
 
+def _joint_kernel_block(z_ref, x_ref, out_ref, dz_ref, dx_ref, *, kp: int,
+                        k: int, tb: int, alpha: float, inv_m: float):
+    """Fused loss + UNIT-cotangent grads in one VMEM pass (round 3).
+
+    Training always wants both the loss and its input grads, and the loss
+    is scalar, so d(loss)/d(input) scales linearly with the upstream
+    cotangent: compute grads once with cotangent 1 here, and the VJP is a
+    host-side scalar multiply.  This halves the distance/normalise work
+    per train step (the separate backward recomputed everything the
+    forward had) and drops one kernel launch + one (z, x) re-pack.
+    Eval-only forwards keep the cheap `_fwd_kernel_block`.
+    """
+    valid = _block_masks(kp, k)
+    z = z_ref[:].reshape(tb, kp, z_ref.shape[-1])
+    x = x_ref[:].reshape(tb, kp, x_ref.shape[-1])
+    dz_mat, rz, nz = _block_distances(z, valid)
+    dx_mat, rx, nx = _block_distances(x, valid)
+
+    hinge = jnp.maximum(alpha * nz - nx, 0.0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += jnp.sum(hinge)
+
+    s = jnp.where((hinge > 0.0) & valid[None], inv_m, 0.0)
+
+    def grad_wrt_points(a, d_mat, r, n, g_n):
+        c = jnp.sum(g_n * n, axis=-1, keepdims=True)
+        r_pos = r > 0.0
+        g_d = jnp.where(valid[None] & r_pos,
+                        (g_n - c) / jnp.where(r_pos, r, 1.0), 0.0)
+        d_pos = d_mat > 0.0
+        w = jnp.where(d_pos,
+                      (g_d + jnp.swapaxes(g_d, -1, -2))
+                      / jnp.where(d_pos, d_mat, 1.0), 0.0)
+        row_w = jnp.sum(w, axis=-1, keepdims=True)
+        wa = jax.lax.dot_general(
+            w, a,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return row_w * a - wa
+
+    gz = grad_wrt_points(z, dz_mat, rz, nz, alpha * s)
+    gx = grad_wrt_points(x, dx_mat, rx, nx, -s)
+    dz_ref[:] = gz.reshape(tb * kp, z_ref.shape[-1])
+    dx_ref[:] = gx.reshape(tb * kp, x_ref.shape[-1])
+
+
 def _plan_block(batch: int, k: int,
                 target: int = _BLOCK_ROW_TILE_TARGET):
     kp = _round_up(k, _SUBLANE)
@@ -360,6 +420,61 @@ def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
     return unpack(dz2, dz_dim, z.dtype), unpack(dx2, dx_dim, x.dtype)
 
 
+def _joint_loss_and_unit_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float):
+    """(loss, dloss/dz, dloss/dx) in ONE kernel pass (block layout).
+
+    The grads carry unit upstream cotangent; the VJP scales them by ``g``
+    outside (a scalar multiply XLA fuses into the surrounding graph).
+    Uses the backward's tile plan — the joint kernel's VMEM footprint is
+    the backward's plus one SMEM scalar.
+    """
+    *lead, k, dz_dim = z.shape
+    dx_dim = x.shape[-1]
+    batch = math.prod(lead)
+    m = batch * k * (k - 1)
+    kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
+    kernel = functools.partial(_joint_kernel_block, kp=kp, k=k, tb=tb,
+                               alpha=float(alpha), inv_m=1.0 / m)
+    z2 = _pack(z, k, kp, batch, batch_pad)
+    x2 = _pack(x, k, kp, batch, batch_pad)
+
+    total, dz2, dx2 = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, dx_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((row_tile, dz_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, dx_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch_pad * kp, dz_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch_pad * kp, dx_dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * grid * row_tile * row_tile * (dz_dim + dx_dim),
+            bytes_accessed=8 * grid * row_tile * (dz_dim + dx_dim),
+            transcendentals=2 * grid * row_tile * row_tile,
+        ),
+        interpret=_should_interpret(),
+    )(z2, x2)
+
+    def unpack(a2, d, orig_dtype):
+        a = a2.reshape(batch_pad, kp, d)[:batch, :k, :]
+        return a.reshape(*lead, k, d).astype(orig_dtype)
+
+    return (total[0, 0] / m,
+            unpack(dz2, dz_dim, z.dtype), unpack(dx2, dx_dim, x.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
                      variant: str) -> jnp.ndarray:
@@ -375,11 +490,22 @@ def _ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
 
 
 def _vjp_fwd(z, x, alpha, variant):
-    return _ndiv_loss_fused(z, x, alpha, variant), (z, x)
+    # Under differentiation the "block" variant runs the JOINT kernel:
+    # residuals are the unit-cotangent grads themselves, so the backward
+    # is a scalar multiply — no second kernel pass.  "packed" (and the
+    # unsupported-shape fallback) keep the recompute-in-backward scheme.
+    if _JOINT and variant == "block" and _fused_available(z.shape[-2]):
+        loss, dz_u, dx_u = _joint_loss_and_unit_grads(z, x, alpha)
+        return loss, (None, None, dz_u, dx_u)
+    return _ndiv_loss_fused(z, x, alpha, variant), (z, x, None, None)
 
 
 def _vjp_bwd(alpha, variant, residuals, g):
-    z, x = residuals
+    z, x, dz_u, dx_u = residuals
+    if dz_u is not None:
+        scale = g.astype(jnp.float32)
+        return ((dz_u.astype(jnp.float32) * scale).astype(dz_u.dtype),
+                (dx_u.astype(jnp.float32) * scale).astype(dx_u.dtype))
     k = z.shape[-2]
     if not _fused_available(k):
         from ndivplanning_tpu.ops.ndiv import ndiv_loss_reference

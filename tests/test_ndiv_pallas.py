@@ -141,3 +141,22 @@ def test_jit_and_grad_compose():
     val, g = loss_and_grad(z, x)
     assert np.isfinite(float(val))
     assert g.shape == z.shape
+
+
+def test_joint_kernel_value_matches_fwd_only_and_scales_cotangent():
+    # Under differentiation the block variant runs the JOINT kernel
+    # (loss + unit grads in one pass); the eval-only forward runs the
+    # cheap fwd kernel with its own (larger) tile plan.  The two values
+    # must agree, and a non-unit upstream cotangent must scale the
+    # grads linearly (the joint backward is a scalar multiply).
+    z, x = _case(11, 4, 32, 2, 64)
+    fwd_only = float(ndiv_loss_fused(z, x, 0.8))
+    val, (gz, gx) = jax.value_and_grad(
+        lambda a, b: ndiv_loss_fused(a, b, 0.8), argnums=(0, 1))(z, x)
+    np.testing.assert_allclose(float(val), fwd_only, rtol=1e-6)
+    gz3, gx3 = jax.grad(
+        lambda a, b: 3.0 * ndiv_loss_fused(a, b, 0.8), argnums=(0, 1))(z, x)
+    np.testing.assert_allclose(np.asarray(gz3), 3.0 * np.asarray(gz),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gx3), 3.0 * np.asarray(gx),
+                               rtol=1e-6, atol=1e-8)
