@@ -185,8 +185,8 @@ def flops_probe() -> None:
     key = jax.random.PRNGKey(0)
     z = jax.random.normal(key, (NDIV_B, NDIV_K, LATENT))
     x = jax.random.normal(key, (NDIV_B, NDIV_K, NDIV_DX))
-    grad_fn = jax.jit(
-        jax.grad(lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
+    grad_fn = jax.jit(jax.value_and_grad(  # same program shape as timed
+        lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
     f_ndiv = _program_flops(grad_fn, z, x)
 
     print(json.dumps({
@@ -238,11 +238,16 @@ def bench_jax():
     key = jax.random.PRNGKey(0)
     z = jax.random.normal(key, (NDIV_B * NDIV_AMP, NDIV_K, LATENT))
     x = jax.random.normal(key, (NDIV_B * NDIV_AMP, NDIV_K, NDIV_DX))
-    grad_fn = jax.jit(jax.grad(lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
+    # value_and_grad with the VALUE consumed: under plain jax.grad the
+    # two-kernel scheme's forward pallas_call had no live output and XLA
+    # dead-code-eliminated it, silently making this metric backward-only
+    # (found in round 3; the torch oracle side always paid fwd+bwd).
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda zz, xx: ndiv_loss(zz, xx), argnums=(0, 1)))
 
     def ndiv_fwd_bwd():
-        gz, gx = grad_fn(z, x)
-        np.asarray(gx[0, 0, 0])  # honest sync
+        v, (gz, gx) = grad_fn(z, x)
+        np.asarray(v + gx[0, 0, 0])  # honest sync, value kept live
 
     t_ndiv = _time_it(ndiv_fwd_bwd, n_iters=2, warmup=2) / NDIV_AMP
 
