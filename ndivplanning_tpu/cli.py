@@ -227,14 +227,18 @@ def main(argv=None) -> int:
             p.add_argument("--mpc-replan", type=int, default=8)
             p.add_argument("--mpc-candidates", type=int, default=256)
         if name in ("plan", "serve"):
-            p.add_argument("--refine", choices=("none", "cem", "grad"),
+            p.add_argument("--refine",
+                           choices=("none", "cem", "grad", "trajopt"),
                            default="none",
-                           help="latent refinement: 'cem' runs "
-                                "cross-entropy-method iterations in the "
-                                "generator's latent space (same total "
-                                "rollout budget as one-shot); 'grad' "
-                                "runs Adam on the soft differentiable "
-                                "objective through G + the env")
+                           help="refinement: 'cem' runs cross-entropy-"
+                                "method iterations in the generator's "
+                                "latent space (same total rollout budget "
+                                "as one-shot); 'grad' runs Adam on the "
+                                "soft differentiable objective through "
+                                "G + the env; 'trajopt' runs Adam on the "
+                                "trajectory itself (G as warm start — "
+                                "escapes G's manifold, the lever for "
+                                "hard-dynamics families)")
         if name == "plan":
             p.add_argument("--mpc", action="store_true",
                            help="closed-loop receding-horizon planning: "
@@ -506,6 +510,13 @@ def main(argv=None) -> int:
 
             result, loss_curve = plan_grad(cfg, state, scene, condition,
                                            jax.random.PRNGKey(cfg.seed + 4))
+            out["soft_loss_curve"] = [float(s) for s in loss_curve]
+        elif args.refine == "trajopt":
+            from ndivplanning_tpu.planning.trajopt import plan_trajopt
+
+            result, loss_curve = plan_trajopt(
+                cfg, state, scene, condition,
+                jax.random.PRNGKey(cfg.seed + 4))
             out["soft_loss_curve"] = [float(s) for s in loss_curve]
         elif args.sharded:
             from ndivplanning_tpu.parallel.mesh import make_mesh

@@ -181,3 +181,42 @@ def make_sharded_grad(cfg: Config, mesh: Mesh | None = None,
         )
 
     return jax.jit(body), mesh
+
+
+def make_sharded_trajopt(cfg: Config, mesh: Mesh | None = None,
+                         n_candidates: int | None = None,
+                         n_steps: int | None = None, lr: float = 0.02,
+                         soft=None, n_diverse: int = 8,
+                         weights: ScoreWeights = ScoreWeights()):
+    """Candidate-sharded direct trajectory optimisation: the Adam-on-tau
+    loop (planning/trajopt.py) with the population axis pinned over the
+    mesh.  Like the latent refiner, each Adam step's forward+backward
+    rollout pass is embarrassingly parallel over candidates (the soft
+    objective never crosses candidates); only the final union hard-score
+    selection gathers.
+
+    Returns ``(trajopt_fn, mesh)``;
+    ``trajopt_fn(state, scene, condition, key) -> (PlanResult, loss_curve)``
+    numerically matches the unsharded
+    :func:`~ndivplanning_tpu.planning.trajopt.plan_trajopt`.
+    """
+    from ndivplanning_tpu.planning.grad_refine import SoftWeights
+    from ndivplanning_tpu.planning.trajopt import _trajopt_impl
+
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    n = (max(cfg.n_candidates // 4, 2)
+         if n_candidates is None else n_candidates)
+    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    soft = SoftWeights() if soft is None else soft
+    cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
+
+    def body(state: TrainState, scene: Scene, condition: jnp.ndarray,
+             key: jax.Array):
+        return _trajopt_impl(
+            cfg, state, scene, condition, key, n, steps, lr, soft,
+            n_diverse, weights,
+            constrain=lambda a: jax.lax.with_sharding_constraint(a, cand),
+        )
+
+    return jax.jit(body), mesh

@@ -79,13 +79,17 @@ class SoftWeights(tuple):
 
 
 
-def _soft_objective(cfg: Config, state: TrainState, scene: Scene,
-                    condition: jnp.ndarray, z: jnp.ndarray,
-                    soft: SoftWeights) -> jnp.ndarray:
-    """Mean soft cost of the candidates decoded from ``z [N, zdim]``."""
+def soft_cost_taus(cfg: Config, scene: Scene, taus: jnp.ndarray,
+                   soft: SoftWeights) -> jnp.ndarray:
+    """Mean soft cost of trajectory candidates ``taus [N, H, da]``.
+
+    The differentiable surrogate shared by the latent refiner (this
+    module) and the direct trajectory optimiser (planning/trajopt.py):
+    gradient flows through the waypoint/action controller and the env
+    dynamics under ``lax.scan``.
+    """
     from ndivplanning_tpu.envs.registry import get_env
 
-    taus = _decode(cfg, state, condition, z)
     params = get_env(cfg.env).make_params()
 
     def one(tau):
@@ -97,6 +101,14 @@ def _soft_objective(cfg: Config, state: TrainState, scene: Scene,
                 + soft.control * res.control_cost)
 
     return jnp.mean(jax.vmap(one)(taus))
+
+
+def _soft_objective(cfg: Config, state: TrainState, scene: Scene,
+                    condition: jnp.ndarray, z: jnp.ndarray,
+                    soft: SoftWeights) -> jnp.ndarray:
+    """Mean soft cost of the candidates decoded from ``z [N, zdim]``."""
+    return soft_cost_taus(cfg, scene, _decode(cfg, state, condition, z),
+                          soft)
 
 
 def _grad_impl(cfg: Config, state: TrainState, scene: Scene,

@@ -152,6 +152,11 @@ def _serve_plan_program(cfg: Config, state: TrainState, scene_b: Scene,
 
         result, _ = plan_grad_batch(cfg, state, scene_b, cond_b, keys,
                                     n_diverse=n_diverse)
+    elif refine == "trajopt":
+        from ndivplanning_tpu.planning.trajopt import plan_trajopt_batch
+
+        result, _ = plan_trajopt_batch(cfg, state, scene_b, cond_b, keys,
+                                       n_diverse=n_diverse)
     else:
         result = plan_batch(cfg, state, scene_b, cond_b, keys,
                             n_diverse=n_diverse)
@@ -190,7 +195,7 @@ def handle_batch(cfg: Config, state: TrainState, requests: list,
     dispatches; returns one JSON-serialisable response per request.
 
     ``refine`` routes the dispatch through a latent-refinement planner
-    ("cem" | "grad", planning/cem.py / planning/grad_refine.py) instead
+    ("cem" | "grad" | "trajopt" — planning/{cem,grad_refine,trajopt}.py) instead
     of one-shot sampling — still one program per bucket size.
 
     ``arrivals`` (optional, ``time.perf_counter()`` per request) makes
@@ -686,7 +691,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     Each input line is either one request object or an array of request
     objects (answered with an array, planned as one batch).  Bursts of
     pending lines additionally coalesce into shared dispatches.
-    ``refine`` ("cem" | "grad") serves latent-refined plans instead of
+    ``refine`` ("cem" | "grad" | "trajopt") serves refined plans instead of
     one-shot samples.  Call :func:`warmup` first to pre-compile all
     bucket programs (the CLI's ``--warmup``).  ``overlap`` pipelines the
     JSON encode/write of batch N with the dispatch of batch N+1 on a
