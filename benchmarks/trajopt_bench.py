@@ -79,6 +79,24 @@ def run(workdir: str, n_scenes: int) -> dict:
     np.asarray(r.best_score)
     out["trajopt"] = summarize(r, time.monotonic() - t0)
 
+    # Matched latent counterpart: same Adam-on-soft-objective budget but
+    # searching z through G — separates "tau-space beats latent-space"
+    # from "gradient refinement beats sampling".
+    from ndivplanning_tpu.planning.grad_refine import plan_grad_batch
+
+    t0 = time.monotonic()
+    r, _ = plan_grad_batch(cfg, state, suite.scenes, suite.conditions, keys)
+    np.asarray(r.best_score)
+    out["grad"] = summarize(r, time.monotonic() - t0)
+
+    # Longer-budget trajopt (5x steps, higher lr): does more first-order
+    # budget change the hard-dynamics verdict?
+    t0 = time.monotonic()
+    r, _ = plan_trajopt_batch(cfg, state, suite.scenes, suite.conditions,
+                              keys, n_steps=60, lr=0.05)
+    np.asarray(r.best_score)
+    out["trajopt60"] = summarize(r, time.monotonic() - t0)
+
     print(json.dumps(out), flush=True)
     return out
 
