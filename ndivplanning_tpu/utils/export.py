@@ -20,6 +20,12 @@ Artifact layout (``export_bundle``):
                                     best_curve[b, cem_iters] (the CEM
                                     latent-refinement planner, the
                                     measured-best planning mode)
+    <out_dir>/trajopt_planner.stablehlo
+                                    same signature -> same outputs plus
+                                    loss_curve[b, steps] (direct tau
+                                    optimisation — the measured-best
+                                    open-loop mode on the shipped
+                                    pointmass checkpoint, BASELINE.md r3)
     <out_dir>/mpc_controller.stablehlo
                                     same scene signature -> (positions[b,T,S],
                                     reached[b], collided[b]) — the CLOSED-LOOP
@@ -46,6 +52,7 @@ from ndivplanning_tpu.utils.config import Config
 GENERATOR_FILE = "generator.stablehlo"
 PLANNER_FILE = "planner.stablehlo"
 CEM_PLANNER_FILE = "cem_planner.stablehlo"
+TRAJOPT_PLANNER_FILE = "trajopt_planner.stablehlo"
 MPC_CONTROLLER_FILE = "mpc_controller.stablehlo"
 MANIFEST_FILE = "manifest.json"
 
@@ -176,6 +183,58 @@ def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
     return exp.serialize()
 
 
+def export_trajopt_planner(cfg: Config, state,
+                           n_candidates: int | None = None,
+                           n_steps: int | None = None, lr: float = 0.02,
+                           n_diverse: int = 8) -> bytes:
+    """Serialize the direct trajectory-optimisation planner
+    (planning/trajopt.py — the measured-best open-loop planning mode on
+    the shipped pointmass checkpoint: mean best score 0.076 vs 0.172
+    one-shot at suite scale, BASELINE.md round 3) as one StableHLO
+    program: warm-start decode, ``lax.scan`` of in-jit Adam steps
+    through the differentiable rollout, hard-scored union selection.
+    Defaults MATCH ``plan_trajopt`` (n = cfg.n_candidates/4,
+    cfg.grad_refine_steps Adam steps); same raw-array scene signature
+    plus a ``loss_curve[b, steps]`` output.
+    """
+    from ndivplanning_tpu.envs.rollout import ScoreWeights
+    from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
+    from ndivplanning_tpu.planning.grad_refine import SoftWeights
+    from ndivplanning_tpu.planning.trajopt import _trajopt_impl
+
+    n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
+    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    state = jax.device_get(state)
+    weights = ScoreWeights()
+    soft = SoftWeights()
+
+    def plan_arrays(conditions, start, goal, obstacles, obstacle_mask,
+                    seeds):
+        def one(cond, s, g, obs, mask, seed):
+            scene = Scene(start=s, goal=g, obstacles=obs,
+                          obstacle_mask=mask)
+            key = jax.random.PRNGKey(seed)
+            r, curve = _trajopt_impl(cfg, state, scene, cond, key, n,
+                                     steps, lr, soft, n_diverse, weights)
+            return (r.best_traj, r.best_score, r.best_reached,
+                    r.diverse_trajs, curve)
+
+        return jax.vmap(one)(conditions, start, goal, obstacles,
+                             obstacle_mask, seeds)
+
+    (b,) = jax.export.symbolic_shape("b")
+    f32 = jnp.float32
+    exp = jax.export.export(jax.jit(plan_arrays), platforms=_PLATFORMS)(
+        _condition_struct(cfg, b),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES, 3), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    return exp.serialize()
+
+
 def export_mpc_controller(cfg: Config, state, total_steps: int = 64,
                           replan_every: int = 8,
                           n_candidates: int = 256) -> bytes:
@@ -242,6 +301,7 @@ def export_bundle(cfg: Config, state, out_dir: str,
                                n_diverse=n_diverse)
     cem_blob = export_cem_planner(cfg, state, n_candidates=n_candidates,
                                   n_diverse=n_diverse)
+    trajopt_blob = export_trajopt_planner(cfg, state, n_diverse=n_diverse)
     mpc_blob = export_mpc_controller(cfg, state,
                                      total_steps=mpc_total_steps,
                                      replan_every=mpc_replan_every,
@@ -252,6 +312,8 @@ def export_bundle(cfg: Config, state, out_dir: str,
         f.write(plan_blob)
     with open(os.path.join(out_dir, CEM_PLANNER_FILE), "wb") as f:
         f.write(cem_blob)
+    with open(os.path.join(out_dir, TRAJOPT_PLANNER_FILE), "wb") as f:
+        f.write(trajopt_blob)
     with open(os.path.join(out_dir, MPC_CONTROLLER_FILE), "wb") as f:
         f.write(mpc_blob)
     manifest = {
@@ -284,6 +346,17 @@ def export_bundle(cfg: Config, state, out_dir: str,
             "signature": "(conditions, start, goal, obstacles, "
                          "obstacle_mask, seeds) -> (best_traj, best_score,"
                          " best_reached, diverse_trajs, best_curve)",
+        },
+        "trajopt_planner": {
+            "file": TRAJOPT_PLANNER_FILE,
+            "bytes": len(trajopt_blob),
+            "n_warm_starts": max(cfg.n_candidates // 4, 2),
+            "adam_steps": cfg.grad_refine_steps,
+            "lr": 0.02,
+            "n_diverse": n_diverse,
+            "signature": "(conditions, start, goal, obstacles, "
+                         "obstacle_mask, seeds) -> (best_traj, best_score,"
+                         " best_reached, diverse_trajs, loss_curve)",
         },
         "mpc_controller": {
             "file": MPC_CONTROLLER_FILE,
