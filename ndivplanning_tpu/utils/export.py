@@ -18,8 +18,9 @@ Artifact layout (``export_bundle``):
                                         best_reached[b], diverse_trajs[b,m,H,S])
     <out_dir>/cem_planner.stablehlo same signature -> same outputs plus
                                     best_curve[b, cem_iters] (the CEM
-                                    latent-refinement planner, the
-                                    measured-best planning mode)
+                                    latent-refinement planner — the
+                                    measured-best refiner on the
+                                    hard-dynamics quadrotor family)
     <out_dir>/trajopt_planner.stablehlo
                                     same signature -> same outputs plus
                                     loss_curve[b, steps] (direct tau
@@ -134,8 +135,10 @@ def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
                        n_iters: int | None = None,
                        n_diverse: int = 8) -> bytes:
     """Serialize the CEM latent-refinement planner (planning/cem.py) —
-    the measured-best planning mode (goal-reach 0.938 vs 0.906 one-shot,
-    BASELINE.md round 2) — as one StableHLO program.
+    the measured-best refiner on the hard-dynamics quadrotor family, and
+    goal-reach 0.938 vs 0.906 one-shot on the planning preset in round
+    2 (since superseded there by trajopt — BASELINE.md r3j) — as one
+    StableHLO program.
 
     The refinement is a ``lax.scan`` over elite-refit iterations on top
     of the vmapped rollout scorer, so it exports exactly like the
