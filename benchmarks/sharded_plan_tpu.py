@@ -104,6 +104,16 @@ def main() -> None:
     grad_lat = _time_calls(
         lambda: grad_fn(state_r, scene, cond, key)[0].best_score, 10)
 
+    from ndivplanning_tpu.parallel.sharded_plan import make_sharded_trajopt
+
+    trj_fn, _ = make_sharded_trajopt(cfg, mesh)
+    t0 = time.monotonic()
+    trj_out, _curve = trj_fn(state_r, scene, cond, key)
+    np.asarray(trj_out.best_score)
+    trj_compile_s = time.monotonic() - t0
+    trj_lat = _time_calls(
+        lambda: trj_fn(state_r, scene, cond, key)[0].best_score, 10)
+
     row = {
         "backend": backend,
         "mesh": f"{n_dev}x1",
@@ -117,6 +127,8 @@ def main() -> None:
         "cem_latency_ms": round(cem_lat * 1e3, 3),
         "grad_compile_s": round(grad_compile_s, 2),
         "grad_latency_ms": round(grad_lat * 1e3, 3),
+        "trajopt_compile_s": round(trj_compile_s, 2),
+        "trajopt_latency_ms": round(trj_lat * 1e3, 3),
     }
     print(json.dumps(row))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
