@@ -155,8 +155,33 @@ def task_fingerprint(cfg: Config) -> tuple:
     Lives next to make_task so a change to what the samplers consume is
     staring at the fingerprint it must extend; a stale fingerprint would
     silently serve one preset's "frozen" suite to another
-    (tests/test_evaluate_plan.py pins the coupling)."""
-    return (cfg.conditioning, cfg.horizon, cfg.image_size)
+    (tests/test_evaluate_plan.py pins the coupling).  env/rollout_mode
+    entered in round 3 with action-space training: under
+    ``rollout_mode="actions"`` the sampler distills expert waypoints into
+    the env family's expert ACTION sequences, so both fields shape
+    ``real_traj``."""
+    return (cfg.conditioning, cfg.horizon, cfg.image_size, cfg.env,
+            cfg.rollout_mode)
+
+
+def _actionize(fn, env: str):
+    """Wrap a waypoint-expert sampler for action-space training: distill
+    each expert waypoint path into the env family's expert ACTION
+    sequence via its own controller (envs/rollout.py::distill_actions) —
+    dynamically consistent real data by construction, all on-device."""
+    from ndivplanning_tpu.envs.registry import get_env
+    from ndivplanning_tpu.envs.rollout import distill_actions
+
+    def sample(key: jax.Array, batch: int) -> Batch:
+        b = fn(key, batch)
+        params = get_env(env).make_params()
+        acts = jax.vmap(
+            lambda sc, w: distill_actions(params, sc, w, env)
+        )(b.scenes, b.real_traj)
+        return Batch(conditions=b.conditions, real_traj=acts,
+                     scenes=b.scenes)
+
+    return sample
 
 
 def make_task(cfg: Config) -> Task:
@@ -167,12 +192,17 @@ def make_task(cfg: Config) -> Task:
     horizon = cfg.horizon
     if cfg.conditioning == "none":
         fn = functools.partial(_sample_pointmass2d, horizon=horizon)
-        return Task(name="pointmass2d", conditioning="none", sample=fn)
-    if cfg.conditioning == "startgoal":
+        name, conditioning = "pointmass2d", "none"
+    elif cfg.conditioning == "startgoal":
         fn = functools.partial(_sample_goalcond, horizon=horizon)
-        return Task(name="goalcond", conditioning="startgoal", sample=fn)
-    if cfg.conditioning == "image":
+        name, conditioning = "goalcond", "startgoal"
+    elif cfg.conditioning == "image":
         fn = functools.partial(_sample_imagecond, horizon=horizon,
                                image_size=cfg.image_size)
-        return Task(name="imagecond", conditioning="image", sample=fn)
-    raise ValueError(f"unknown conditioning {cfg.conditioning!r}")
+        name, conditioning = "imagecond", "image"
+    else:
+        raise ValueError(f"unknown conditioning {cfg.conditioning!r}")
+    if cfg.rollout_mode == "actions":
+        fn = _actionize(fn, cfg.env)
+        name += "+actions"
+    return Task(name=name, conditioning=conditioning, sample=fn)

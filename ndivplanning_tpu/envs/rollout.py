@@ -130,3 +130,31 @@ def score_candidates(params: EnvParams, scene: Scene, taus: jnp.ndarray,
     return jax.vmap(
         lambda t: _rollout_scan(params, scene, t, mode, weights, env=env)
     )(taus)
+
+
+def distill_actions(params: EnvParams, scene: Scene,
+                    waypoints: jnp.ndarray,
+                    env: str = "pointmass") -> jnp.ndarray:
+    """Expert-action distillation: run the env family's own waypoint
+    controller along a waypoint path and record the actions it takes.
+
+    The bridge from waypoint-space expert data to ACTION-space training
+    (``cfg.rollout_mode="actions"``): the distilled sequence is
+    dynamically consistent by construction — rolling it back through the
+    env in "actions" mode reproduces the waypoint-mode rollout EXACTLY
+    (same controller, same dynamics, same branchless latches; pinned by
+    tests/test_action_mode.py).  Matters most for the underactuated
+    families, where raw waypoint paths are poor action surrogates.
+    """
+    from ndivplanning_tpu.envs.registry import get_env
+
+    api = get_env(env)
+    state0 = api.reset(params, scene)
+
+    def body(state, wp):
+        a = api.waypoint_control(params, state, wp)
+        new_state, _ = api.step(params, scene, state, a)
+        return new_state, a
+
+    _, actions = jax.lax.scan(body, state0, waypoints)
+    return actions

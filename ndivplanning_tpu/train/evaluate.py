@@ -180,12 +180,18 @@ def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch,
     )
     ndiv = ndiv_loss_reference(z, flat, cfg.ndiv_alpha)
 
-    # Quality: trajectory endpoint vs scene goal
-    endpoints = taus[:, :, -1, :]  # [B, k, S]
-    goal = batch.scenes.goal[:, None, :]
-    endpoint_err = jnp.mean(
-        jnp.sqrt(jnp.sum(jnp.square(endpoints - goal), axis=-1))
-    )
+    # Quality: trajectory endpoint vs scene goal.  In waypoint mode the
+    # endpoint is the last emitted waypoint; in action mode tau rows are
+    # actions (positions come only from rolling out), so endpoint_err is
+    # filled from the rollout's final goal distance below instead.
+    if cfg.rollout_mode == "waypoints":
+        endpoints = taus[:, :, -1, :]  # [B, k, S]
+        goal = batch.scenes.goal[:, None, :]
+        endpoint_err = jnp.mean(
+            jnp.sqrt(jnp.sum(jnp.square(endpoints - goal), axis=-1))
+        )
+    else:
+        endpoint_err = None  # filled from per_cond.goal_dist below
 
     # Sim-in-the-loop: roll all B*k generated trajectories
     from ndivplanning_tpu.envs.registry import get_env
@@ -200,6 +206,8 @@ def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch,
     per_cond = jax.vmap(
         lambda scene, taus_k: jax.vmap(lambda t: roll_one(scene, t))(taus_k)
     )(batch.scenes, taus)
+    if endpoint_err is None:
+        endpoint_err = jnp.mean(per_cond.goal_dist)
     out = {
         "eval_mean_pairwise_dist": mean_pairwise,
         "eval_ndiv": ndiv,
