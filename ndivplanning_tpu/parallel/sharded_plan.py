@@ -185,7 +185,7 @@ def make_sharded_grad(cfg: Config, mesh: Mesh | None = None,
 
 def make_sharded_trajopt(cfg: Config, mesh: Mesh | None = None,
                          n_candidates: int | None = None,
-                         n_steps: int | None = None, lr: float = 0.02,
+                         n_steps: int | None = None, lr: float | None = None,
                          soft=None, n_diverse: int = 8,
                          weights: ScoreWeights = ScoreWeights()):
     """Candidate-sharded direct trajectory optimisation: the Adam-on-tau
@@ -207,7 +207,8 @@ def make_sharded_trajopt(cfg: Config, mesh: Mesh | None = None,
         mesh = make_mesh(cfg=cfg)
     n = (max(cfg.n_candidates // 4, 2)
          if n_candidates is None else n_candidates)
-    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    steps = cfg.trajopt_steps if n_steps is None else n_steps
+    lr = cfg.trajopt_lr if lr is None else lr
     soft = SoftWeights() if soft is None else soft
     cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
 

@@ -103,7 +103,7 @@ def _trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
 def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
                  condition: jnp.ndarray, key: jax.Array,
                  n_candidates: int | None = None,
-                 n_steps: int | None = None, lr: float = 0.02,
+                 n_steps: int | None = None, lr: float | None = None,
                  soft: SoftWeights = SoftWeights(), n_diverse: int = 8,
                  weights: ScoreWeights = ScoreWeights()):
     """Direct trajectory optimisation for one scene.
@@ -112,11 +112,12 @@ def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
     mean soft objective per Adam step.  Defaults mirror
     :func:`~ndivplanning_tpu.planning.grad_refine.plan_grad` (same
     per-step cost structure: each Adam step is one fwd+bwd rollout pass
-    per candidate); ``lr`` is smaller because tau lives in world/action
-    units, not latent units.
+    per candidate); the Adam budget defaults to the measured-best
+    ``cfg.trajopt_steps`` / ``cfg.trajopt_lr`` (BASELINE.md r3j).
     """
     n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
-    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    steps = cfg.trajopt_steps if n_steps is None else n_steps
+    lr = cfg.trajopt_lr if lr is None else lr
     return _trajopt_impl(cfg, state, scene, condition, key, n, steps, lr,
                          soft, n_diverse, weights)
 
@@ -126,12 +127,13 @@ def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
 def plan_trajopt_batch(cfg: Config, state: TrainState, scenes: Scene,
                        conditions: jnp.ndarray, keys: jax.Array,
                        n_candidates: int | None = None,
-                       n_steps: int | None = None, lr: float = 0.02,
+                       n_steps: int | None = None, lr: float | None = None,
                        soft: SoftWeights = SoftWeights(), n_diverse: int = 8,
                        weights: ScoreWeights = ScoreWeights()):
     """Batched :func:`plan_trajopt` (vmap over scenes, same program)."""
     n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
-    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    steps = cfg.trajopt_steps if n_steps is None else n_steps
+    lr = cfg.trajopt_lr if lr is None else lr
     return jax.vmap(
         lambda sc, co, k: _trajopt_impl(cfg, state, sc, co, k, n, steps,
                                         lr, soft, n_diverse, weights)

@@ -177,6 +177,15 @@ class Config:
     # Gradient latent refinement (planning/grad_refine.py): Adam steps
     # on the soft differentiable objective for ``plan --refine grad``.
     grad_refine_steps: int = 12
+    # Direct trajectory optimisation (planning/trajopt.py): Adam budget
+    # for ``plan --refine trajopt``.  Defaults are the measured-best
+    # suite-scale setting on the shipped serving checkpoint (60 steps /
+    # lr 0.05: mean best score 0.042 at reach 1.000 vs 0.076 at the
+    # 12-step grad budget — BASELINE.md r3j); tau lives in world/action
+    # units, hence the larger lr than latent grad refinement's 0.1 on
+    # z~N(0,1) is not comparable.
+    trajopt_steps: int = 60
+    trajopt_lr: float = 0.05
     eval_every: int = 500
     # Periodic eval runs on a frozen suite of this many scenes (step-to-
     # step comparable); the best checkpoint by ``track_best_metric`` is

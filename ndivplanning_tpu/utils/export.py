@@ -188,7 +188,8 @@ def export_cem_planner(cfg: Config, state, n_candidates: int | None = None,
 
 def export_trajopt_planner(cfg: Config, state,
                            n_candidates: int | None = None,
-                           n_steps: int | None = None, lr: float = 0.02,
+                           n_steps: int | None = None,
+                           lr: float | None = None,
                            n_diverse: int = 8) -> bytes:
     """Serialize the direct trajectory-optimisation planner
     (planning/trajopt.py — the measured-best open-loop planning mode on
@@ -197,8 +198,8 @@ def export_trajopt_planner(cfg: Config, state,
     program: warm-start decode, ``lax.scan`` of in-jit Adam steps
     through the differentiable rollout, hard-scored union selection.
     Defaults MATCH ``plan_trajopt`` (n = cfg.n_candidates/4,
-    cfg.grad_refine_steps Adam steps); same raw-array scene signature
-    plus a ``loss_curve[b, steps]`` output.
+    cfg.trajopt_steps Adam steps at cfg.trajopt_lr); same raw-array
+    scene signature plus a ``loss_curve[b, steps]`` output.
     """
     from ndivplanning_tpu.envs.rollout import ScoreWeights
     from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
@@ -206,7 +207,8 @@ def export_trajopt_planner(cfg: Config, state,
     from ndivplanning_tpu.planning.trajopt import _trajopt_impl
 
     n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
-    steps = cfg.grad_refine_steps if n_steps is None else n_steps
+    steps = cfg.trajopt_steps if n_steps is None else n_steps
+    lr = cfg.trajopt_lr if lr is None else lr
     state = jax.device_get(state)
     weights = ScoreWeights()
     soft = SoftWeights()
@@ -354,8 +356,8 @@ def export_bundle(cfg: Config, state, out_dir: str,
             "file": TRAJOPT_PLANNER_FILE,
             "bytes": len(trajopt_blob),
             "n_warm_starts": max(cfg.n_candidates // 4, 2),
-            "adam_steps": cfg.grad_refine_steps,
-            "lr": 0.02,
+            "adam_steps": cfg.trajopt_steps,
+            "lr": cfg.trajopt_lr,
             "n_diverse": n_diverse,
             "signature": "(conditions, start, goal, obstacles, "
                          "obstacle_mask, seeds) -> (best_traj, best_score,"

@@ -88,7 +88,7 @@ def test_plan_refine_trajopt(tmp_path, capsys):
     rc = main(["plan", "--preset", "pointmass2d", "--batch-size", "4",
                "--k", "4", "--workdir", str(tmp_path), "--refine",
                "trajopt", "--set", "n_candidates=32",
-               "--set", "grad_refine_steps=4"])
+               "--set", "trajopt_steps=4"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["soft_loss_curve"]) == 4

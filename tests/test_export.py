@@ -148,7 +148,7 @@ def test_trajopt_export_matches_live_plan_trajopt(tmp_path):
     from ndivplanning_tpu.planning.trajopt import plan_trajopt
     from ndivplanning_tpu.utils.export import TRAJOPT_PLANNER_FILE
 
-    cfg = _small(grad_refine_steps=3)
+    cfg = _small(trajopt_steps=3)
     state = create_train_state(cfg)
     export_bundle(cfg, state, str(tmp_path), n_diverse=4)
     p = load_exported(str(tmp_path / TRAJOPT_PLANNER_FILE))
