@@ -295,6 +295,15 @@ def main(argv=None) -> int:
                                 "compile on a remote-compile TPU; "
                                 "without this the first request of "
                                 "each bucket size pays it live)")
+            p.add_argument("--watch-best", action="store_true",
+                           help="auto-reload: watch <workdir>/best and "
+                                "hot-swap the served weights whenever a "
+                                "training run writes a new best "
+                                "checkpoint (zero recompiles; swaps "
+                                "counted as 'auto_reloads' in the stats "
+                                "line)")
+            p.add_argument("--watch-poll", type=float, default=2.0,
+                           help="--watch-best poll interval in seconds")
         if name == "record-data":
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
@@ -608,6 +617,18 @@ def main(argv=None) -> int:
         # (possibly newer) best checkpoint — a train loop writing
         # <workdir>/best can feed a live server.
         reload_fn = (lambda: _load_state(cfg)) if cfg.workdir else None
+        watcher = None
+        if args.watch_best:
+            if reload_fn is None:
+                print("--watch-best needs a --workdir to watch",
+                      file=sys.stderr)
+                return 2
+            from ndivplanning_tpu.planning.server import BestWatcher
+
+            watcher = BestWatcher(
+                reload_fn,
+                os.path.join(cfg.workdir, "best", "best_path.json"),
+                poll_s=args.watch_poll)
         if args.warmup or args.warmup_mpc:  # --warmup-mpc implies --warmup
             secs = warmup(cfg, state, refine=args.refine,
                           mpc=args.warmup_mpc)
@@ -620,7 +641,7 @@ def main(argv=None) -> int:
                                refine=args.refine,
                                overlap=not args.no_overlap,
                                cross_batch=args.cross_batch,
-                               reload_fn=reload_fn)
+                               reload_fn=reload_fn, watcher=watcher)
             host, port = server.server_address[:2]
             # One parseable readiness line (stdout): clients/orchestrators
             # wait for it instead of polling the port.
@@ -632,10 +653,15 @@ def main(argv=None) -> int:
             finally:
                 server.shutdown()
                 server.server_close()
+                if watcher is not None:
+                    watcher.stop()
             print(json.dumps({"served": server.lines_served}))
             return 0
         served = serve(cfg, state, refine=args.refine,
-                       overlap=not args.no_overlap, reload_fn=reload_fn)
+                       overlap=not args.no_overlap, reload_fn=reload_fn,
+                       watcher=watcher)
+        if watcher is not None:
+            watcher.stop()
         print(json.dumps({"served": served}))
         return 0
 

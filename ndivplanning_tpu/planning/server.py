@@ -70,7 +70,7 @@ BUCKETS = (1, 2, 4, 8, 16)
 # bookkeeping, never traced.
 _STATS_LOCK = threading.Lock()
 SERVING_STATS = {"dispatches": 0, "requests": 0, "mpc_requests": 0,
-                 "padded_slots": 0, "started_at": None}
+                 "padded_slots": 0, "auto_reloads": 0, "started_at": None}
 
 
 def _record_dispatch(n_real: int, bucket: int, mpc: bool) -> None:
@@ -95,6 +95,7 @@ def serving_stats() -> dict:
         "dispatches": s["dispatches"],
         "requests": s["requests"],
         "mpc_requests": s["mpc_requests"],
+        "auto_reloads": s["auto_reloads"],
         "mean_dispatch_batch": round(s["requests"] / d, 2),
         "pad_fraction": round(
             s["padded_slots"] / max(s["requests"] + s["padded_slots"], 1),
@@ -102,6 +103,88 @@ def serving_stats() -> dict:
         "since_first_dispatch_s": (round(time.time() - s["started_at"], 1)
                                    if s["started_at"] else 0.0),
     }
+
+class BestWatcher:
+    """Auto-reload: watch a best-checkpoint marker and hot-load weights.
+
+    The `reload` protocol line already lets a CLIENT trigger a
+    zero-downtime weight swap; this completes the ops loop SERVER-side —
+    a training run writing ``<workdir>/best`` continuously feeds a live
+    server with no client involvement (`serve --watch-best`).  A daemon
+    thread polls the marker file's (mtime, size) every ``poll_s``
+    seconds; on change it calls ``reload_fn`` (the same loader the
+    protocol reload uses), publishes the new state under a version
+    counter, and notifies registered callbacks (the cross-batch
+    dispatcher).  Serving loops apply the swap at burst boundaries —
+    the same segment semantics as a protocol reload — and same pytree
+    shapes mean the per-bucket compiled programs are reused (zero
+    recompiles).  Swaps are counted in the ``stats`` line
+    (``auto_reloads``).
+    """
+
+    def __init__(self, reload_fn, marker_path: str, poll_s: float = 2.0):
+        self._reload = reload_fn
+        self._marker = marker_path
+        self._poll = poll_s
+        self._lock = threading.Lock()
+        self._state = None
+        self._version = 0
+        self._callbacks: list = []
+        self._stop = threading.Event()
+        self._last_sig = self._sig()
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="best-watcher")
+        self._thread.start()
+
+    def _sig(self):
+        try:
+            st = os.stat(self._marker)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def current(self):
+        """(version, latest state or None) — consumers remember the
+        version they applied and re-read when it moves."""
+        with self._lock:
+            return self._version, self._state
+
+    def on_swap(self, fn) -> None:
+        """Register a callback invoked with each newly loaded state."""
+        with self._lock:
+            self._callbacks.append(fn)
+
+    def check_now(self) -> bool:
+        """One synchronous poll+load cycle (the thread's body; public
+        for deterministic tests).  Returns True if a swap happened."""
+        sig = self._sig()
+        if sig is None or sig == self._last_sig:
+            return False
+        self._last_sig = sig
+        try:
+            new_state = self._reload()
+        except Exception:  # noqa: BLE001 — keep watching; try next poll
+            return False
+        if new_state is None:
+            return False
+        with self._lock:
+            self._state = new_state
+            self._version += 1
+            callbacks = list(self._callbacks)
+        for fn in callbacks:
+            fn(new_state)
+        with _STATS_LOCK:
+            SERVING_STATS["auto_reloads"] += 1
+        return True
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._poll):
+            self.check_now()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
 
 # Closed-loop serving parameters are FIXED (not per-request): each
 # distinct (total_steps, replan_every, n_candidates) combination is a
@@ -685,7 +768,7 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
           stdout: IO[str] = sys.stdout, seed: int = 0,
           max_coalesce: int = BUCKETS[-1], refine: str = "none",
           overlap: bool = True, batcher: _CrossBatcher | None = None,
-          reload_fn=None) -> int:
+          reload_fn=None, watcher: BestWatcher | None = None) -> int:
     """Blocking request loop; returns number of request lines answered.
 
     Each input line is either one request object or an array of request
@@ -703,7 +786,8 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
     writer = _ResponseWriter(stdout, overlap)
     try:
         n = _serve_loop(cfg, state, source, writer, key, max_coalesce,
-                        refine, batcher=batcher, reload_fn=reload_fn)
+                        refine, batcher=batcher, reload_fn=reload_fn,
+                        watcher=watcher)
     except BaseException:
         # Flush/stop the writer without letting a secondary write error
         # (dead client pipe) mask the loop's own exception; bounded wait
@@ -721,7 +805,8 @@ def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
 def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
               port: int = 0, seed: int = 0, refine: str = "none",
               overlap: bool = True, max_coalesce: int = BUCKETS[-1],
-              cross_batch: bool = False, reload_fn=None):
+              cross_batch: bool = False, reload_fn=None,
+              watcher: BestWatcher | None = None):
     """Network serving: the same JSON-lines protocol over TCP.
 
     Returns a ``ThreadingTCPServer`` already bound (``port=0`` picks an
@@ -750,6 +835,8 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
     conn_counter = itertools.count()
     batcher = (_CrossBatcher(cfg, state, refine=refine, seed=seed)
                if cross_batch else None)
+    if watcher is not None and batcher is not None:
+        watcher.on_swap(batcher.set_state)
 
     class _Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -763,7 +850,8 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
                 n = serve(cfg, state, stdin=reader, stdout=writer,
                           seed=seed + conn_id, refine=refine,
                           overlap=overlap, max_coalesce=max_coalesce,
-                          batcher=batcher, reload_fn=reload_fn)
+                          batcher=batcher, reload_fn=reload_fn,
+                          watcher=watcher)
                 with server._lock:
                     server.lines_served += n
             except (BrokenPipeError, ConnectionResetError):
@@ -815,9 +903,17 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
                 writer: _ResponseWriter, key: jax.Array,
                 max_coalesce: int, refine: str,
                 batcher: _CrossBatcher | None = None,
-                reload_fn=None) -> int:
+                reload_fn=None, watcher: BestWatcher | None = None) -> int:
     n = 0
     stop = False
+    # Auto-reload: start from the watcher's latest state (a connection
+    # opened after a swap must not serve the stale boot weights) and
+    # re-check at every burst boundary below.
+    watch_ver = -1
+    if watcher is not None:
+        watch_ver, w_state = watcher.current()
+        if w_state is not None:
+            state = w_state
 
     def process_segment(seg_lines: list[str], t_arrive: float) -> None:
         """Parse + dispatch + flush one reload-free run of burst lines
@@ -909,6 +1005,12 @@ def _serve_loop(cfg: Config, state: TrainState, source: _LineSource,
         first = source.readline()
         if first == "":
             break
+        if watcher is not None:
+            ver, w_state = watcher.current()
+            if ver != watch_ver:
+                watch_ver = ver
+                if w_state is not None:
+                    state = w_state
         lines = [first]
         lines += source.drain(max_coalesce - 1)
         # One arrival stamp for the whole burst: every line was already

@@ -764,3 +764,74 @@ def test_reload_swaps_cross_batcher_state():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_best_watcher_detects_marker_change(tmp_path):
+    from ndivplanning_tpu.planning.server import SERVING_STATS, BestWatcher
+
+    marker = tmp_path / "best_path.json"
+    loads = []
+    sentinel = object()
+
+    def reload_fn():
+        loads.append(1)
+        return sentinel
+
+    # Long poll interval: the thread stays asleep and the test drives
+    # check_now() deterministically.
+    w = BestWatcher(reload_fn, str(marker), poll_s=3600.0)
+    try:
+        assert w.check_now() is False  # no marker yet
+        assert w.current() == (0, None)
+
+        marker.write_text('{"path": "a", "value": 0.5}')
+        before = SERVING_STATS["auto_reloads"]
+        swaps = []
+        w.on_swap(swaps.append)
+        assert w.check_now() is True
+        ver, st = w.current()
+        assert ver == 1 and st is sentinel
+        assert swaps == [sentinel]
+        assert SERVING_STATS["auto_reloads"] == before + 1
+
+        assert w.check_now() is False  # unchanged marker: no reload
+        assert loads == [1]
+
+        marker.write_text('{"path": "b", "value": 0.75}')
+        assert w.check_now() is True
+        assert w.current()[0] == 2
+    finally:
+        w.stop()
+
+
+def test_serve_uses_watcher_state(tmp_path):
+    # A serving loop started (or a connection opened) AFTER the watcher
+    # swapped must answer from the NEW weights, not the boot state.
+    from ndivplanning_tpu.planning.server import BestWatcher
+
+    cfg = _cfg()
+    state_boot = create_train_state(cfg)
+    state_new = create_train_state(cfg.replace(seed=cfg.seed + 100))
+
+    marker = tmp_path / "best_path.json"
+    w = BestWatcher(lambda: state_new, str(marker), poll_s=3600.0)
+    try:
+        marker.write_text("{}")
+        assert w.check_now() is True
+
+        req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9]}) + "\nquit\n"
+        out_watched = io.StringIO()
+        serve(cfg, state_boot, stdin=io.StringIO(req), stdout=out_watched,
+              watcher=w)
+        out_new = io.StringIO()
+        serve(cfg, state_new, stdin=io.StringIO(req), stdout=out_new)
+        got = json.loads(out_watched.getvalue().splitlines()[0])
+        want = json.loads(out_new.getvalue().splitlines()[0])
+        assert got["best_traj"] == want["best_traj"]
+        # ...and that differs from what the boot state would have said.
+        out_boot = io.StringIO()
+        serve(cfg, state_boot, stdin=io.StringIO(req), stdout=out_boot)
+        boot = json.loads(out_boot.getvalue().splitlines()[0])
+        assert boot["best_traj"] != want["best_traj"]
+    finally:
+        w.stop()
