@@ -103,15 +103,20 @@ def run(workdir: str, n_scenes: int) -> dict:
 
 def main() -> None:
     n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # Targets: vendored checkpoint names or absolute workdir paths.
+    targets = sys.argv[2:] or ["quadrotor150k", "planning512"]
+    out_path = os.environ.get(
+        "TRAJOPT_OUT",
+        os.path.join(os.path.dirname(__file__), "trajopt_results.json"))
     results = []
-    for name in ("quadrotor150k", "planning512"):
-        wd = os.path.join(REPO, "checkpoints", name)
+    for name in targets:
+        wd = name if os.path.isdir(name) else os.path.join(
+            REPO, "checkpoints", name)
         if os.path.isdir(wd):
             results.append(run(wd, n_scenes))
         # Crash-safe partial write (a TPU-worker restart on target 2 must
         # not lose target 1 — the convergence harness learned this).
-        with open(os.path.join(os.path.dirname(__file__),
-                               "trajopt_results.json"), "w") as f:
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
 
