@@ -201,14 +201,14 @@ def make_sharded_trajopt(cfg: Config, mesh: Mesh | None = None,
     :func:`~ndivplanning_tpu.planning.trajopt.plan_trajopt`.
     """
     from ndivplanning_tpu.planning.grad_refine import SoftWeights
-    from ndivplanning_tpu.planning.trajopt import _trajopt_impl
+    from ndivplanning_tpu.planning.trajopt import (
+        _trajopt_impl,
+        resolve_budget,
+    )
 
     if mesh is None:
         mesh = make_mesh(cfg=cfg)
-    n = (max(cfg.n_candidates // 4, 2)
-         if n_candidates is None else n_candidates)
-    steps = cfg.trajopt_steps if n_steps is None else n_steps
-    lr = cfg.trajopt_lr if lr is None else lr
+    n, steps, lr = resolve_budget(cfg, n_candidates, n_steps, lr)
     soft = SoftWeights() if soft is None else soft
     cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
 

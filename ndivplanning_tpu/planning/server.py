@@ -160,13 +160,15 @@ class BestWatcher:
         sig = self._sig()
         if sig is None or sig == self._last_sig:
             return False
-        self._last_sig = sig
         try:
             new_state = self._reload()
         except Exception:  # noqa: BLE001 — keep watching; try next poll
-            return False
+            return False  # _last_sig NOT advanced: the next poll retries
         if new_state is None:
-            return False
+            return False  # ditto — a transient restore failure (e.g. a
+            # TPU-tunnel hiccup mid-save) must not permanently skip this
+            # best checkpoint.
+        self._last_sig = sig
         with self._lock:
             self._state = new_state
             self._version += 1

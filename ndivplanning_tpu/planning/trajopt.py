@@ -55,6 +55,18 @@ from ndivplanning_tpu.train.state import TrainState
 from ndivplanning_tpu.utils.config import Config
 
 
+def resolve_budget(cfg: Config, n_candidates: int | None = None,
+                   n_steps: int | None = None, lr: float | None = None):
+    """(n_warm_starts, adam_steps, lr) with config defaults filled in —
+    the ONE place the trajopt budget is resolved.  plan_trajopt[_batch],
+    make_sharded_trajopt, and export_trajopt_planner all call this, so
+    the live, sharded, and exported planners cannot drift apart when the
+    default budget changes (it already changed once, in r3j)."""
+    n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
+    steps = cfg.trajopt_steps if n_steps is None else n_steps
+    return n, steps, (cfg.trajopt_lr if lr is None else lr)
+
+
 def _trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
                   condition: jnp.ndarray, key: jax.Array, n: int,
                   n_steps: int, lr: float, soft: SoftWeights,
@@ -115,9 +127,7 @@ def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
     per candidate); the Adam budget defaults to the measured-best
     ``cfg.trajopt_steps`` / ``cfg.trajopt_lr`` (BASELINE.md r3j).
     """
-    n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
-    steps = cfg.trajopt_steps if n_steps is None else n_steps
-    lr = cfg.trajopt_lr if lr is None else lr
+    n, steps, lr = resolve_budget(cfg, n_candidates, n_steps, lr)
     return _trajopt_impl(cfg, state, scene, condition, key, n, steps, lr,
                          soft, n_diverse, weights)
 
@@ -131,9 +141,7 @@ def plan_trajopt_batch(cfg: Config, state: TrainState, scenes: Scene,
                        soft: SoftWeights = SoftWeights(), n_diverse: int = 8,
                        weights: ScoreWeights = ScoreWeights()):
     """Batched :func:`plan_trajopt` (vmap over scenes, same program)."""
-    n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
-    steps = cfg.trajopt_steps if n_steps is None else n_steps
-    lr = cfg.trajopt_lr if lr is None else lr
+    n, steps, lr = resolve_budget(cfg, n_candidates, n_steps, lr)
     return jax.vmap(
         lambda sc, co, k: _trajopt_impl(cfg, state, sc, co, k, n, steps,
                                         lr, soft, n_diverse, weights)

@@ -208,6 +208,10 @@ def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch,
     )(batch.scenes, taus)
     if endpoint_err is None:
         endpoint_err = jnp.mean(per_cond.goal_dist)
+        # Rolled-out final positions stand in for waypoint endpoints —
+        # the mode-coverage block below reads `endpoints` for every
+        # conditioning, so action mode must define them too.
+        endpoints = per_cond.positions[:, :, -1, :]
     out = {
         "eval_mean_pairwise_dist": mean_pairwise,
         "eval_ndiv": ndiv,

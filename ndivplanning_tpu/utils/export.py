@@ -204,11 +204,12 @@ def export_trajopt_planner(cfg: Config, state,
     from ndivplanning_tpu.envs.rollout import ScoreWeights
     from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
     from ndivplanning_tpu.planning.grad_refine import SoftWeights
-    from ndivplanning_tpu.planning.trajopt import _trajopt_impl
+    from ndivplanning_tpu.planning.trajopt import (
+        _trajopt_impl,
+        resolve_budget,
+    )
 
-    n = max(cfg.n_candidates // 4, 2) if n_candidates is None else n_candidates
-    steps = cfg.trajopt_steps if n_steps is None else n_steps
-    lr = cfg.trajopt_lr if lr is None else lr
+    n, steps, lr = resolve_budget(cfg, n_candidates, n_steps, lr)
     state = jax.device_get(state)
     weights = ScoreWeights()
     soft = SoftWeights()
@@ -299,14 +300,18 @@ def export_bundle(cfg: Config, state, out_dir: str,
     Returns the manifest dict (artifact names, sizes, config).
     """
     from ndivplanning_tpu.planning.cem import cem_population
+    from ndivplanning_tpu.planning.trajopt import resolve_budget
 
+    _trj_budget = resolve_budget(cfg, n_candidates)
     os.makedirs(out_dir, exist_ok=True)
     gen_blob = export_generator(cfg, state)
     plan_blob = export_planner(cfg, state, n_candidates=n_candidates,
                                n_diverse=n_diverse)
     cem_blob = export_cem_planner(cfg, state, n_candidates=n_candidates,
                                   n_diverse=n_diverse)
-    trajopt_blob = export_trajopt_planner(cfg, state, n_diverse=n_diverse)
+    trajopt_blob = export_trajopt_planner(cfg, state,
+                                          n_candidates=n_candidates,
+                                          n_diverse=n_diverse)
     mpc_blob = export_mpc_controller(cfg, state,
                                      total_steps=mpc_total_steps,
                                      replan_every=mpc_replan_every,
@@ -355,9 +360,10 @@ def export_bundle(cfg: Config, state, out_dir: str,
         "trajopt_planner": {
             "file": TRAJOPT_PLANNER_FILE,
             "bytes": len(trajopt_blob),
-            "n_warm_starts": max(cfg.n_candidates // 4, 2),
-            "adam_steps": cfg.trajopt_steps,
-            "lr": cfg.trajopt_lr,
+            # The budget actually baked into the artifact.
+            "n_warm_starts": _trj_budget[0],
+            "adam_steps": _trj_budget[1],
+            "lr": _trj_budget[2],
             "n_diverse": n_diverse,
             "signature": "(conditions, start, goal, obstacles, "
                          "obstacle_mask, seeds) -> (best_traj, best_score,"
