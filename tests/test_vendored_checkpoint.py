@@ -83,3 +83,31 @@ def test_vendored_quadrotor150k_restores_and_scores():
     r = mpc_rollout_batch(cfg, best, scenes, conds, keys, total_steps=64,
                           replan_every=8, n_candidates=64)
     assert float(r.reached.mean()) >= 0.75  # measured 1.0 at suite scale
+
+
+def test_vendored_unicycle_and_reacher_restore_and_score():
+    # The r3n family checkpoints: per-draw eval measured 0.997/0.980 at
+    # suite scale (BASELINE.md) — the floors catch corruption, not eval
+    # noise, and the loading path pins schema compatibility.
+    from ndivplanning_tpu.train.evaluate import evaluate_fixed
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+    from ndivplanning_tpu.utils.config import load_config
+
+    for name, env, step, floor in [
+        ("unicycle150k", "unicycle", 120000, 0.9),
+        ("reacher150k", "reacher", 105000, 0.85),
+    ]:
+        wd = os.path.join(REPO, "checkpoints", name)
+        if not os.path.isdir(wd):
+            pytest.skip(f"vendored {name} checkpoint not present")
+        cfg = load_config(wd)
+        assert cfg is not None and cfg.env == env
+        assert cfg.lr_schedule == "cosine"
+        state = create_train_state(cfg)
+        best = ckpt.restore_latest(os.path.join(wd, "best"), state)
+        assert best is not None, name
+        assert int(best.step) == step, name
+        ev = evaluate_fixed(cfg, best, n_scenes=128)
+        assert float(ev["eval_success_rate"]) >= floor, (name, ev)
+        assert float(ev["eval_mean_pairwise_dist"]) >= 0.3, name
