@@ -54,16 +54,17 @@ def _requests(n: int) -> list[dict]:
     return out
 
 
-def bench_mode(cfg, state, batch: int, n_iters: int) -> dict:
+def bench_mode(cfg, state, batch: int, n_iters: int,
+               refine: str = "none") -> dict:
     key = jax.random.PRNGKey(0)
     reqs = _requests(batch)
     # Warm the bucket's compile out of the measurement.
-    handle_batch(cfg, state, reqs, key)
+    handle_batch(cfg, state, reqs, key, refine=refine)
     lat = []
     for i in range(n_iters):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        out = handle_batch(cfg, state, reqs, sub)
+        out = handle_batch(cfg, state, reqs, sub, refine=refine)
         lat.append(time.perf_counter() - t0)
         assert len(out) == batch
     lat_ms = np.asarray(lat) * 1e3
@@ -311,6 +312,12 @@ def main() -> None:
         "n_candidates": cfg.n_candidates,
         "single": bench_mode(cfg, state, 1, n_iters),
         "burst16": bench_mode(cfg, state, 16, n_iters),
+        # The measured-best open-loop mode (BASELINE.md r3j): what does
+        # the quality win cost at the serving layer?
+        "single_trajopt": bench_mode(cfg, state, 1, n_iters,
+                                     refine="trajopt"),
+        "burst16_trajopt": bench_mode(cfg, state, 16, n_iters,
+                                      refine="trajopt"),
         "sustained": [bench_sustained(cfg, state, q, max(4 * n_iters, 50))
                       for q in sustained],
         "sustained_tcp": [
