@@ -130,8 +130,9 @@ class TorchNDivGAN:
         self.opt_g.zero_grad()
         g_loss.backward()
         self.opt_g.step()
-        return {"d_loss": float(d_loss), "g_adv": float(g_adv),
-                "g_ndiv": float(g_ndiv)}
+        return {"d_loss": float(d_loss.detach()),
+                "g_adv": float(g_adv.detach()),
+                "g_ndiv": float(g_ndiv.detach())}
 
 
 class ConvSceneEncoder(nn.Module):
@@ -209,8 +210,9 @@ class TorchImageNDivGAN(TorchNDivGAN):
         self.opt_g.zero_grad()
         g_loss.backward()
         self.opt_g.step()
-        return {"d_loss": float(d_loss), "g_adv": float(g_adv),
-                "g_ndiv": float(g_ndiv)}
+        return {"d_loss": float(d_loss.detach()),
+                "g_adv": float(g_adv.detach()),
+                "g_ndiv": float(g_ndiv.detach())}
 
 
 def pointmass_step_py(pos, vel, action, dt=0.1, max_speed=2.0,
