@@ -187,7 +187,7 @@ def main(argv=None) -> int:
     cur.add_argument("--out", default="curves.png",
                      help="output PNG path")
     for name in ("train", "eval", "plan", "serve", "viz", "record-data",
-                 "export"):
+                 "export", "distill"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "viz":
@@ -271,6 +271,20 @@ def main(argv=None) -> int:
                                 "the compiled per-bucket programs")
             p.add_argument("--host", default="127.0.0.1",
                            help="bind address for --tcp")
+            p.add_argument("--max-pending", type=int, default=0,
+                           metavar="N",
+                           help="with --cross-batch: admission control — "
+                                "refuse new requests with {'error': "
+                                "'overloaded', 'retry_ms': ...} once N "
+                                "requests are queued or in flight "
+                                "(0 = unbounded, the default)")
+            p.add_argument("--deadline-ms", type=float, default=0.0,
+                           help="with --cross-batch: drop admitted "
+                                "requests that queued longer than this "
+                                "before dispatch ({'error': "
+                                "'deadline_exceeded'}); bounds served "
+                                "tail latency under overload "
+                                "(0 = no deadline)")
             p.add_argument("--cross-batch", action="store_true",
                            help="with --tcp: coalesce requests ACROSS "
                                 "connections into shared dispatches "
@@ -307,6 +321,39 @@ def main(argv=None) -> int:
         if name == "record-data":
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
+            p.add_argument("--from-planner", default=None,
+                           choices=("mpc", "trajopt"),
+                           help="record PLANNER-generated expert "
+                                "trajectories (open-loop re-verified "
+                                "against their true scenes) instead of "
+                                "the synthetic task experts — the "
+                                "expert-iteration data source "
+                                "(train/distill.py)")
+            p.add_argument("--per-scene", type=int, default=1,
+                           help="independent planner draws per scene "
+                                "(--from-planner)")
+        if name == "distill":
+            p.add_argument("--rounds", type=int, default=1,
+                           help="expert-iteration rounds (record -> "
+                                "fine-tune -> frozen-suite eval; a round "
+                                "is kept only if the tracked metric "
+                                "improves)")
+            p.add_argument("--scenes-per-round", type=int, default=2048)
+            p.add_argument("--per-scene", type=int, default=1,
+                           help="independent planner draws per scene")
+            p.add_argument("--planner", default="mpc",
+                           choices=("mpc", "trajopt"))
+            p.add_argument("--epochs", type=int, default=None,
+                           help="fine-tune epochs per round (default: "
+                                "~5000 optimizer steps)")
+            p.add_argument("--suite-size", type=int, default=512,
+                           help="frozen-suite scenes for the before/"
+                                "after measurement")
+            p.add_argument("--mpc-replan", type=int, default=8)
+            p.add_argument("--mpc-candidates", type=int, default=256)
+            p.add_argument("--distill-workdir", default=None,
+                           help="where round datasets/checkpoints go "
+                                "(default <workdir>/distill)")
         if name == "train":
             p.add_argument("--dataset", default=None,
                            help="train from a recorded .npz dataset "
@@ -360,11 +407,35 @@ def main(argv=None) -> int:
         enable_nan_debugging(True)
 
     if args.cmd == "record-data":
+        if args.from_planner:
+            from ndivplanning_tpu.train.distill import record_planner_dataset
+
+            state = _load_state(cfg)
+            stats = record_planner_dataset(
+                cfg, state, args.n_examples, args.out,
+                planner=args.from_planner, per_scene=args.per_scene)
+            print(json.dumps({"out": args.out, **stats}))
+            return 0
         from ndivplanning_tpu.data.host_pipeline import record_dataset
 
         stats = record_dataset(cfg, args.n_examples, args.out,
                                seed=cfg.seed)
         print(json.dumps({"out": args.out, **stats}))
+        return 0
+
+    if args.cmd == "distill":
+        from ndivplanning_tpu.train.distill import expert_iteration
+
+        state = _load_state(cfg)
+        state, report = expert_iteration(
+            cfg, state, rounds=args.rounds,
+            scenes_per_round=args.scenes_per_round,
+            per_scene=args.per_scene, epochs=args.epochs,
+            planner=args.planner, replan_every=args.mpc_replan,
+            n_candidates=args.mpc_candidates,
+            workdir=args.distill_workdir, suite_scenes=args.suite_size,
+            echo=True)
+        print(json.dumps({"rounds": report}))
         return 0
 
     if args.cmd == "train" and args.dataset:
@@ -641,7 +712,9 @@ def main(argv=None) -> int:
                                refine=args.refine,
                                overlap=not args.no_overlap,
                                cross_batch=args.cross_batch,
-                               reload_fn=reload_fn, watcher=watcher)
+                               reload_fn=reload_fn, watcher=watcher,
+                               max_pending=args.max_pending or None,
+                               deadline_ms=args.deadline_ms or None)
             host, port = server.server_address[:2]
             # One parseable readiness line (stdout): clients/orchestrators
             # wait for it instead of polling the port.

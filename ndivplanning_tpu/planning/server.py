@@ -70,7 +70,17 @@ BUCKETS = (1, 2, 4, 8, 16)
 # bookkeeping, never traced.
 _STATS_LOCK = threading.Lock()
 SERVING_STATS = {"dispatches": 0, "requests": 0, "mpc_requests": 0,
-                 "padded_slots": 0, "auto_reloads": 0, "started_at": None}
+                 "padded_slots": 0, "auto_reloads": 0, "started_at": None,
+                 "shed_requests": 0, "expired_requests": 0}
+
+
+def _record_load_control(shed: int = 0, expired: int = 0) -> None:
+    """Admission-control counters: requests refused at the queue door
+    (``overloaded``) and requests dropped at dispatch time for blowing
+    their queueing deadline (``deadline_exceeded``)."""
+    with _STATS_LOCK:
+        SERVING_STATS["shed_requests"] += shed
+        SERVING_STATS["expired_requests"] += expired
 
 
 def _record_dispatch(n_real: int, bucket: int, mpc: bool) -> None:
@@ -96,6 +106,8 @@ def serving_stats() -> dict:
         "requests": s["requests"],
         "mpc_requests": s["mpc_requests"],
         "auto_reloads": s["auto_reloads"],
+        "shed_requests": s["shed_requests"],
+        "expired_requests": s["expired_requests"],
         "mean_dispatch_batch": round(s["requests"] / d, 2),
         "pad_fraction": round(
             s["padded_slots"] / max(s["requests"] + s["padded_slots"], 1),
@@ -654,17 +666,41 @@ class _CrossBatcher:
 
     def __init__(self, cfg: Config, state: TrainState, *,
                  n_diverse: int = 4, refine: str = "none", seed: int = 0,
-                 max_batch: int = BUCKETS[-1]):
+                 max_batch: int = BUCKETS[-1],
+                 max_pending: int | None = None,
+                 deadline_ms: float | None = None):
         self._cfg = cfg
         self._state = state
         self._n_diverse = n_diverse
         self._refine = refine
         self._key = jax.random.PRNGKey(seed)
         self._max = max_batch
+        # Admission control (round-4): ``max_pending`` bounds the number
+        # of ADMITTED requests waiting or in flight — past it, new
+        # requests are refused at the door with {"error": "overloaded",
+        # "retry_ms": ...} instead of growing an unbounded queue whose
+        # tail latency grows without bound.  ``deadline_ms`` bounds how
+        # long an admitted request may QUEUE: at dispatch time anything
+        # older is answered {"error": "deadline_exceeded"} rather than
+        # served a stale answer late.  None disables either knob.
+        self._max_pending = max_pending
+        self._deadline_s = (None if not deadline_ms
+                            else float(deadline_ms) / 1000.0)
+        self._pending_n = 0
+        self._pending_lock = threading.Lock()
+        # Per-dispatch service-time EMA seeds the shed response's
+        # retry_ms hint (~when the present queue will have drained).
+        self._ema_dispatch_s = 0.05
         self._q: "queue.Queue[list[_Pending] | None]" = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def _retry_ms_hint(self) -> int:
+        with self._pending_lock:
+            n = self._pending_n
+        dispatches_ahead = max(-(-n // self._max), 1)
+        return max(int(dispatches_ahead * self._ema_dispatch_s * 1000), 1)
 
     def submit(self, reqs: list[dict], arrival: float) -> list[_Pending]:
         """Enqueue one connection's burst (atomically — it can coalesce
@@ -676,7 +712,23 @@ class _CrossBatcher:
         if not pendings:
             return pendings
         if self._closed:
-            self._fail(pendings, "server shutting down")
+            self._fail(pendings, "server shutting down", counted=False)
+            return pendings
+        with self._pending_lock:
+            over = (self._max_pending is not None
+                    and self._pending_n + len(pendings) > self._max_pending)
+            if not over:
+                self._pending_n += len(pendings)
+        if over:
+            # Load shed: refuse the whole burst atomically (a burst is a
+            # client-level unit; admitting half would interleave partial
+            # answers with refusals on one line).  The pendings were
+            # never counted, so complete them directly.
+            retry = self._retry_ms_hint()
+            _record_load_control(shed=len(pendings))
+            for p in pendings:
+                p.result = {"error": "overloaded", "retry_ms": retry}
+                p.event.set()
             return pendings
         self._q.put(pendings)
         if self._closed and not self._thread.is_alive():
@@ -704,11 +756,28 @@ class _CrossBatcher:
         self._q.put(None)
         self._thread.join(timeout=30)
 
-    def _fail(self, pendings: list[_Pending], msg: str) -> None:
+    def _complete(self, p: _Pending, result) -> None:
+        """Finish one ADMITTED pending: set its result exactly once and
+        release its admission slot (the ``max_pending`` budget counts
+        queued + in-flight requests, so every completion path must come
+        through here or the budget leaks)."""
+        if p.event.is_set():
+            return
+        if p.result is None:
+            p.result = result
+        with self._pending_lock:
+            self._pending_n -= 1
+        p.event.set()
+
+    def _fail(self, pendings: list[_Pending], msg: str,
+              counted: bool = True) -> None:
         for p in pendings:
-            if p.result is None:
-                p.result = {"error": msg}
-            p.event.set()
+            if counted:
+                self._complete(p, {"error": msg})
+            else:  # refused before admission — no slot to release
+                if p.result is None:
+                    p.result = {"error": msg}
+                p.event.set()
 
     def _run(self) -> None:
         while True:
@@ -733,7 +802,30 @@ class _CrossBatcher:
                     self._q.put(None)  # re-post: exit after this batch
                     break
                 batch.extend(more)
-            self._dispatch(batch)
+            if self._deadline_s is not None:
+                # Queueing deadline: an admitted request that waited past
+                # its deadline gets an explicit late-drop error instead
+                # of an answer it stopped waiting for — this is what
+                # bounds tail latency for everything actually SERVED.
+                now = time.perf_counter()
+                live = []
+                n_expired = 0
+                for p in batch:
+                    waited = now - p.arrival
+                    if waited > self._deadline_s:
+                        n_expired += 1
+                        self._complete(p, {
+                            "error": "deadline_exceeded",
+                            "waited_ms": round(waited * 1000.0, 1),
+                            "deadline_ms": round(self._deadline_s * 1000.0,
+                                                 1)})
+                    else:
+                        live.append(p)
+                if n_expired:
+                    _record_load_control(expired=n_expired)
+                batch = live
+            if batch:
+                self._dispatch(batch)
 
     def _dispatch(self, batch: list[_Pending]) -> None:
         out: list = [None] * len(batch)
@@ -742,10 +834,10 @@ class _CrossBatcher:
         def progress() -> None:
             for i, p in enumerate(batch):
                 if not done[i] and out[i] is not None:
-                    p.result = out[i]
                     done[i] = True
-                    p.event.set()
+                    self._complete(p, out[i])
 
+        t0 = time.perf_counter()
         try:
             # The key split lives INSIDE the try: any failure here must
             # fail this batch's pendings, not kill the dispatcher loop
@@ -757,13 +849,14 @@ class _CrossBatcher:
                          arrivals=[p.arrival for p in batch],
                          on_progress=progress, out=out)
             progress()
+            self._ema_dispatch_s = (0.7 * self._ema_dispatch_s
+                                    + 0.3 * (time.perf_counter() - t0))
         except BaseException as e:  # noqa: BLE001 — keep serving
             for i, p in enumerate(batch):
                 if not done[i]:
-                    p.result = (out[i] if out[i] is not None else
-                                {"error": f"{type(e).__name__}: {e}"})
                     done[i] = True
-                    p.event.set()
+                    self._complete(p, out[i] if out[i] is not None else
+                                   {"error": f"{type(e).__name__}: {e}"})
 
 
 def serve(cfg: Config, state: TrainState, stdin: IO[str] = sys.stdin,
@@ -808,7 +901,9 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
               port: int = 0, seed: int = 0, refine: str = "none",
               overlap: bool = True, max_coalesce: int = BUCKETS[-1],
               cross_batch: bool = False, reload_fn=None,
-              watcher: BestWatcher | None = None):
+              watcher: BestWatcher | None = None,
+              max_pending: int | None = None,
+              deadline_ms: float | None = None):
     """Network serving: the same JSON-lines protocol over TCP.
 
     Returns a ``ThreadingTCPServer`` already bound (``port=0`` picks an
@@ -835,7 +930,9 @@ def serve_tcp(cfg: Config, state: TrainState, host: str = "127.0.0.1",
     import socketserver
 
     conn_counter = itertools.count()
-    batcher = (_CrossBatcher(cfg, state, refine=refine, seed=seed)
+    batcher = (_CrossBatcher(cfg, state, refine=refine, seed=seed,
+                             max_pending=max_pending,
+                             deadline_ms=deadline_ms)
                if cross_batch else None)
     if watcher is not None and batcher is not None:
         watcher.on_swap(batcher.set_state)

@@ -439,7 +439,8 @@ def _make_dataset_chunk_step(cfg: Config, mesh=None):
 def train_from_dataset(cfg: Config, dataset, num_epochs: int,
                        state: TrainState | None = None, prefetch: int = 2,
                        workdir: Optional[str] = None, restore: bool = True,
-                       echo: bool = False, eval_dataset=None):
+                       echo: bool = False, eval_dataset=None,
+                       eval_suite: bool = False):
     """Train from a recorded host dataset (data/host_pipeline.py) instead
     of the on-device samplers — the reference's dataset-loading path
     (SURVEY.md §2 C9), at full parity with :func:`train`:
@@ -459,6 +460,12 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
 
     ``dataset`` is an ArrayDataset with ``conditions``/``real_traj`` (and
     ``scene_*`` when recorded).  Returns (state, last_metrics_dict).
+
+    ``eval_suite=True`` evaluates on the FROZEN task-sampler suite
+    (evaluate_fixed) instead of a held-out dataset slice — the expert-
+    iteration fine-tune path (train/distill.py), where the quantity being
+    optimised is frozen-suite one-shot quality, not fit to the recorded
+    expert set.  Mutually exclusive with ``eval_dataset``.
     """
     from ndivplanning_tpu.data.host_pipeline import (
         prefetch_to_device,
@@ -523,7 +530,16 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
 
     writer = MetricsWriter(workdir, echo=echo)
     eval_fn = None
-    if eval_batch is not None:
+    if eval_suite:
+        if eval_dataset is not None:
+            raise ValueError("eval_suite and eval_dataset are mutually "
+                             "exclusive — pick one eval protocol")
+
+        def eval_fn(state, step, use_ema):
+            return {k: float(v) for k, v in evaluate_fixed(
+                cfg, state, n_scenes=cfg.eval_suite_scenes,
+                use_ema=use_ema).items()}
+    elif eval_batch is not None:
         def eval_fn(state, step, use_ema):
             # Honest held-out eval against the eval slice's TRUE scenes.
             # FIXED latent key (not folded with step): per-step draws

@@ -835,3 +835,120 @@ def test_serve_uses_watcher_state(tmp_path):
         assert boot["best_traj"] != want["best_traj"]
     finally:
         w.stop()
+
+
+def test_cross_batcher_sheds_over_max_pending():
+    """Admission control: once max_pending requests are queued or in
+    flight, new submits are refused with {'error': 'overloaded',
+    'retry_ms': ...} instead of growing the queue without bound — and a
+    completed dispatch releases budget for later submits."""
+    import threading as _threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from ndivplanning_tpu.planning import server as srv
+    from ndivplanning_tpu.planning.server import SERVING_STATS, _CrossBatcher
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    gate = _threading.Event()
+    n_calls = []
+    real = srv.handle_batch
+
+    def gated(*args, **kw):
+        n_calls.append(1)
+        gate.wait(timeout=60)
+        return real(*args, **kw)
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(srv, "handle_batch", gated)
+    try:
+        b = _CrossBatcher(cfg, state, max_pending=2)
+        shed_before = SERVING_STATS["shed_requests"]
+        first = b.submit([{"start": [0.1, 0.1], "goal": [0.9, 0.9]}],
+                         _time.perf_counter())[0]
+        while not n_calls:  # dispatcher holds request 1 in flight
+            pass
+        second = b.submit([{"start": [0.2, 0.1], "goal": [0.9, 0.9]}],
+                          _time.perf_counter())[0]
+        # Budget (2) is full: queued + in-flight both count.
+        shed = b.submit([{"start": [0.3, 0.1], "goal": [0.9, 0.9]}],
+                        _time.perf_counter())[0]
+        assert shed.event.wait(timeout=5)
+        assert shed.result["error"] == "overloaded", shed.result
+        assert shed.result["retry_ms"] >= 1
+        assert SERVING_STATS["shed_requests"] == shed_before + 1
+        gate.set()
+        for p in (first, second):
+            assert p.event.wait(timeout=120)
+            assert "best_score" in p.result, p.result
+        # Completions released the budget: a new submit is admitted.
+        third = b.submit([{"start": [0.4, 0.1], "goal": [0.9, 0.9]}],
+                         _time.perf_counter())[0]
+        assert third.event.wait(timeout=120)
+        assert "best_score" in third.result, third.result
+        b.close()
+    finally:
+        gate.set()
+        mp.undo()
+
+
+def test_cross_batcher_deadline_drops_stale():
+    """An admitted request that queued past deadline_ms is answered
+    {'error': 'deadline_exceeded'} at dispatch time — bounding the tail
+    latency of everything actually served."""
+    import threading as _threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from ndivplanning_tpu.planning import server as srv
+    from ndivplanning_tpu.planning.server import SERVING_STATS, _CrossBatcher
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    gate = _threading.Event()
+    n_calls = []
+    real = srv.handle_batch
+
+    def gated(*args, **kw):
+        n_calls.append(1)
+        gate.wait(timeout=60)
+        return real(*args, **kw)
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(srv, "handle_batch", gated)
+    try:
+        b = _CrossBatcher(cfg, state, deadline_ms=30.0)
+        expired_before = SERVING_STATS["expired_requests"]
+        first = b.submit([{"start": [0.1, 0.1], "goal": [0.9, 0.9]}],
+                         _time.perf_counter())[0]
+        while not n_calls:  # dispatch 1 held at the gate
+            pass
+        stale = b.submit([{"start": [0.2, 0.1], "goal": [0.9, 0.9]}],
+                         _time.perf_counter())[0]
+        _time.sleep(0.1)  # stale queues well past its 30 ms deadline
+        gate.set()
+        assert first.event.wait(timeout=120)
+        assert "best_score" in first.result, first.result
+        assert stale.event.wait(timeout=120)
+        assert stale.result["error"] == "deadline_exceeded", stale.result
+        assert stale.result["waited_ms"] > 30.0
+        assert SERVING_STATS["expired_requests"] == expired_before + 1
+        # The batcher keeps serving after drops: fresh request succeeds.
+        fresh = b.submit([{"start": [0.3, 0.1], "goal": [0.9, 0.9]}],
+                         _time.perf_counter())[0]
+        assert fresh.event.wait(timeout=120)
+        assert "best_score" in fresh.result, fresh.result
+        b.close()
+    finally:
+        gate.set()
+        mp.undo()
+
+
+def test_stats_exposes_load_control_counters():
+    from ndivplanning_tpu.planning.server import serving_stats
+
+    s = serving_stats()
+    assert "shed_requests" in s and "expired_requests" in s
