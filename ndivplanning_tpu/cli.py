@@ -228,7 +228,8 @@ def main(argv=None) -> int:
             p.add_argument("--mpc-candidates", type=int, default=256)
         if name in ("plan", "serve"):
             p.add_argument("--refine",
-                           choices=("none", "cem", "grad", "trajopt"),
+                           choices=("none", "cem", "grad", "trajopt",
+                                    "ilqr", "cem+trajopt"),
                            default="none",
                            help="refinement: 'cem' runs cross-entropy-"
                                 "method iterations in the generator's "
@@ -238,7 +239,11 @@ def main(argv=None) -> int:
                                 "G + the env; 'trajopt' runs Adam on the "
                                 "trajectory itself (G as warm start — "
                                 "escapes G's manifold, the lever for "
-                                "hard-dynamics families)")
+                                "kinematic families); 'ilqr' runs "
+                                "Riccati-sweep second-order action "
+                                "optimisation (the underactuated-regime "
+                                "mode); 'cem+trajopt' chains global "
+                                "latent CEM into direct tau refinement")
         if name == "plan":
             p.add_argument("--mpc", action="store_true",
                            help="closed-loop receding-horizon planning: "
@@ -322,7 +327,7 @@ def main(argv=None) -> int:
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
             p.add_argument("--from-planner", default=None,
-                           choices=("mpc", "trajopt"),
+                           choices=("mpc", "trajopt", "ilqr", "cem+trajopt"),
                            help="record PLANNER-generated expert "
                                 "trajectories (open-loop re-verified "
                                 "against their true scenes) instead of "
@@ -342,7 +347,8 @@ def main(argv=None) -> int:
             p.add_argument("--per-scene", type=int, default=1,
                            help="independent planner draws per scene")
             p.add_argument("--planner", default="mpc",
-                           choices=("mpc", "trajopt"))
+                           choices=("mpc", "trajopt", "ilqr",
+                                    "cem+trajopt"))
             p.add_argument("--epochs", type=int, default=None,
                            help="fine-tune epochs per round (default: "
                                 "~5000 optimizer steps)")
@@ -595,6 +601,20 @@ def main(argv=None) -> int:
             from ndivplanning_tpu.planning.trajopt import plan_trajopt
 
             result, loss_curve = plan_trajopt(
+                cfg, state, scene, condition,
+                jax.random.PRNGKey(cfg.seed + 4))
+            out["soft_loss_curve"] = [float(s) for s in loss_curve]
+        elif args.refine == "ilqr":
+            from ndivplanning_tpu.planning.ilqr import plan_ilqr
+
+            result, cost_curve = plan_ilqr(
+                cfg, state, scene, condition,
+                jax.random.PRNGKey(cfg.seed + 4))
+            out["soft_loss_curve"] = [float(s) for s in cost_curve]
+        elif args.refine == "cem+trajopt":
+            from ndivplanning_tpu.planning.trajopt import plan_cem_trajopt
+
+            result, loss_curve = plan_cem_trajopt(
                 cfg, state, scene, condition,
                 jax.random.PRNGKey(cfg.seed + 4))
             out["soft_loss_curve"] = [float(s) for s in loss_curve]

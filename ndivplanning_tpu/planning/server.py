@@ -254,6 +254,16 @@ def _serve_plan_program(cfg: Config, state: TrainState, scene_b: Scene,
 
         result, _ = plan_trajopt_batch(cfg, state, scene_b, cond_b, keys,
                                        n_diverse=n_diverse)
+    elif refine == "ilqr":
+        from ndivplanning_tpu.planning.ilqr import plan_ilqr_batch
+
+        result, _ = plan_ilqr_batch(cfg, state, scene_b, cond_b, keys,
+                                    n_diverse=n_diverse)
+    elif refine == "cem+trajopt":
+        from ndivplanning_tpu.planning.trajopt import plan_cem_trajopt_batch
+
+        result, _ = plan_cem_trajopt_batch(cfg, state, scene_b, cond_b,
+                                           keys, n_diverse=n_diverse)
     else:
         result = plan_batch(cfg, state, scene_b, cond_b, keys,
                             n_diverse=n_diverse)

@@ -67,15 +67,18 @@ def resolve_budget(cfg: Config, n_candidates: int | None = None,
     return n, steps, (cfg.trajopt_lr if lr is None else lr)
 
 
-def _trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
-                  condition: jnp.ndarray, key: jax.Array, n: int,
+def _trajopt_core(cfg: Config, scene: Scene, tau0: jnp.ndarray,
                   n_steps: int, lr: float, soft: SoftWeights,
                   n_diverse: int, weights: ScoreWeights, constrain=None):
+    """Adam-on-tau refinement + honest union selection, from EXPLICIT
+    warm starts ``tau0 [n, H, S]`` — shared by the G-warm-started
+    planner (:func:`plan_trajopt`) and the CEM->trajopt hybrid
+    (:func:`plan_cem_trajopt`, which seeds from CEM's refined
+    population instead of raw G draws)."""
     # ``constrain``: candidate-axis mesh-layout hook, identity when
     # unsharded (same contract as cem.py / grad_refine.py).
     cst = constrain if constrain is not None else (lambda a: a)
-    z0 = cst(jax.random.normal(key, (n, cfg.latent_dim)))
-    tau0 = cst(_decode(cfg, state, condition, z0))  # G as warm start
+    n = tau0.shape[0]
     opt = optax.adam(lr)
 
     def step(carry, _):
@@ -110,6 +113,17 @@ def _trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
     return plan, loss_curve
 
 
+def _trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
+                  condition: jnp.ndarray, key: jax.Array, n: int,
+                  n_steps: int, lr: float, soft: SoftWeights,
+                  n_diverse: int, weights: ScoreWeights, constrain=None):
+    cst = constrain if constrain is not None else (lambda a: a)
+    z0 = cst(jax.random.normal(key, (n, cfg.latent_dim)))
+    tau0 = cst(_decode(cfg, state, condition, z0))  # G as warm start
+    return _trajopt_core(cfg, scene, tau0, n_steps, lr, soft, n_diverse,
+                         weights, constrain=constrain)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "n_candidates", "n_steps", "lr", "soft", "n_diverse", "weights"))
 def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
@@ -130,6 +144,62 @@ def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
     n, steps, lr = resolve_budget(cfg, n_candidates, n_steps, lr)
     return _trajopt_impl(cfg, state, scene, condition, key, n, steps, lr,
                          soft, n_diverse, weights)
+
+
+def _cem_trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
+                      condition: jnp.ndarray, key: jax.Array,
+                      n_steps: int, lr: float, soft: SoftWeights,
+                      n_diverse: int, weights: ScoreWeights):
+    from ndivplanning_tpu.planning.cem import _cem_impl, cem_population
+
+    k_cem, _ = jax.random.split(key)
+    n, elite, iters = cem_population(cfg)
+    cem_plan, _ = _cem_impl(cfg, state, scene, condition, k_cem, n, elite,
+                            iters, 0.25, 0.05, n_diverse, weights)
+    # Warm-start trajopt from CEM's TOP final candidates: CEM's global
+    # latent search picks the basins (the only measured quadrotor
+    # winner, BASELINE.md r3j), the tau optimiser slides within them.
+    # CEM's tracked best rides in its final population, so it is always
+    # among the top-m seeds — with the union selection that makes the
+    # hybrid >= CEM >= one-shot by construction.
+    m = max(n // 4, 2)
+    sel = jnp.where(jnp.isfinite(cem_plan.scores), cem_plan.scores, jnp.inf)
+    _, top_idx = jax.lax.top_k(-sel, m)
+    return _trajopt_core(cfg, scene, cem_plan.taus[top_idx], n_steps, lr,
+                         soft, n_diverse, weights)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_steps", "lr", "soft", "n_diverse", "weights"))
+def plan_cem_trajopt(cfg: Config, state: TrainState, scene: Scene,
+                     condition: jnp.ndarray, key: jax.Array,
+                     n_steps: int | None = None, lr: float | None = None,
+                     soft: SoftWeights = SoftWeights(), n_diverse: int = 8,
+                     weights: ScoreWeights = ScoreWeights()):
+    """CEM->trajopt hybrid for one scene: global latent CEM search, then
+    direct tau optimisation from its elite survivors (``--refine
+    cem+trajopt``).  Returns ``(PlanResult, loss_curve)`` with the
+    trajopt stage's soft-objective curve."""
+    _, steps, lr = resolve_budget(cfg, None, n_steps, lr)
+    return _cem_trajopt_impl(cfg, state, scene, condition, key, steps, lr,
+                             soft, n_diverse, weights)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_steps", "lr", "soft", "n_diverse", "weights"))
+def plan_cem_trajopt_batch(cfg: Config, state: TrainState, scenes: Scene,
+                           conditions: jnp.ndarray, keys: jax.Array,
+                           n_steps: int | None = None,
+                           lr: float | None = None,
+                           soft: SoftWeights = SoftWeights(),
+                           n_diverse: int = 8,
+                           weights: ScoreWeights = ScoreWeights()):
+    """Batched :func:`plan_cem_trajopt` (vmap over scenes)."""
+    _, steps, lr = resolve_budget(cfg, None, n_steps, lr)
+    return jax.vmap(
+        lambda sc, co, k: _cem_trajopt_impl(cfg, state, sc, co, k, steps,
+                                            lr, soft, n_diverse, weights)
+    )(scenes, conditions, keys)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -120,13 +120,26 @@ def _plan_expert_chunk(cfg: Config, state: TrainState, scenes, conditions,
 
         plan, _ = plan_trajopt_batch(cfg, state, scenes, conditions, keys,
                                      n_candidates=n_candidates)
-        tau = np.asarray(jax.device_get(plan.best_traj))  # [B, H, S]
-        if cfg.rollout_mode == "actions":
-            # tau rows are actions already; positions come from rollout.
-            return tau
-        return tau
-    raise ValueError(f"unknown planner {planner!r}; "
-                     "choose from ['mpc', 'trajopt']")
+        return np.asarray(jax.device_get(plan.best_traj))  # [B, H, S]
+    if planner == "ilqr":
+        # The second-order teacher (round 4): iLQR's optima are SMOOTH
+        # dynamically-consistent paths, where the MPC teacher's executed
+        # positions are jagged replanned trajectories — measured
+        # open-loop keep rate on the quadrotor: MPC 0.21-0.23 vs iLQR's
+        # (see benchmarks/distill_quadrotor_ilqr.json).
+        from ndivplanning_tpu.planning.ilqr import plan_ilqr_batch
+
+        plan, _ = plan_ilqr_batch(cfg, state, scenes, conditions, keys,
+                                  n_candidates=max(n_candidates // 16, 2))
+        return np.asarray(jax.device_get(plan.best_traj))
+    if planner == "cem+trajopt":
+        from ndivplanning_tpu.planning.trajopt import plan_cem_trajopt_batch
+
+        plan, _ = plan_cem_trajopt_batch(cfg, state, scenes, conditions,
+                                         keys)
+        return np.asarray(jax.device_get(plan.best_traj))
+    raise ValueError(f"unknown planner {planner!r}; choose from "
+                     "['mpc', 'trajopt', 'ilqr', 'cem+trajopt']")
 
 
 def record_planner_dataset(cfg: Config, state: TrainState, n_scenes: int,

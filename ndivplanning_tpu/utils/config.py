@@ -186,6 +186,11 @@ class Config:
     # z~N(0,1) is not comparable.
     trajopt_steps: int = 60
     trajopt_lr: float = 0.05
+    # iLQR refinement (planning/ilqr.py): Riccati-sweep iterations for
+    # ``plan --refine ilqr`` — the second-order mode for the
+    # underactuated regime where first-order trajopt is a measured
+    # negative (BASELINE.md r3j quadrotor).
+    ilqr_iters: int = 12
     eval_every: int = 500
     # Periodic eval runs on a frozen suite of this many scenes (step-to-
     # step comparable); the best checkpoint by ``track_best_metric`` is
