@@ -242,7 +242,11 @@ def reset_for_finetune(cfg: Config, state: TrainState) -> TrainState:
     to 0 (``train_from_dataset`` reads step as a position in the NEW
     dataset's batch order), fresh Adam chains and LeCam trackers, params
     (raw + EMA) and PRNG carried over."""
-    from ndivplanning_tpu.train.state import build_optimizers, fresh_lecam_ema
+    from ndivplanning_tpu.train.state import (
+        build_optimizers,
+        fresh_ada,
+        fresh_lecam_ema,
+    )
 
     g_tx, d_tx = build_optimizers(cfg)
     return state.replace(
@@ -250,6 +254,7 @@ def reset_for_finetune(cfg: Config, state: TrainState) -> TrainState:
         g_opt_state=g_tx.init(state.g_params),
         d_opt_state=d_tx.init(state.d_params),
         lecam_ema=fresh_lecam_ema(),
+        ada=fresh_ada(),
     )
 
 

@@ -113,6 +113,12 @@ class TrainState:
     # TrainState schema is uniform; pre-lecam checkpoints migrate via
     # utils/checkpoint.py::_restore_legacy.
     lecam_ema: dict
+    # ADA controller state (config.py ada_target): the overfitting-
+    # heuristic EMA ``r`` and the augmentation probability ``p``.
+    # Carried (as zeros) when the knob is off, same uniform-schema
+    # discipline as lecam_ema; pre-ada checkpoints migrate via
+    # utils/checkpoint.py::_restore_legacy.
+    ada: dict
 
 
 def fresh_lecam_ema() -> dict:
@@ -124,6 +130,16 @@ def fresh_lecam_ema() -> dict:
     """
     return {"real": jnp.zeros((), jnp.float32),
             "fake": jnp.zeros((), jnp.float32)}
+
+
+def fresh_ada() -> dict:
+    """Zero-initialised ADA controller state (config.py ada_target):
+    ``r`` (bias-corrected r_t EMA, like the LeCam anchors) and ``p``
+    (augmentation probability — ADA starts augmentation off and ramps
+    on demand).  Single source of the schema for create_train_state AND
+    the legacy-checkpoint migration."""
+    return {"r": jnp.zeros((), jnp.float32),
+            "p": jnp.zeros((), jnp.float32)}
 
 
 def gen_params(cfg: Config, state: TrainState):
@@ -206,6 +222,7 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
         # whole state, and XLA rejects donating one buffer twice.
         g_ema_params=jax.tree.map(jnp.copy, g_params),
         lecam_ema=fresh_lecam_ema(),
+        ada=fresh_ada(),
     )
 
 

@@ -126,20 +126,33 @@ def _cutout_images(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
 
 
 def _diffaug(cfg: Config, key: jax.Array, conditions: jnp.ndarray,
-             traj: jnp.ndarray):
+             traj: jnp.ndarray, apply_p=None):
     """DiffAugment (config.py ``diffaug``): augment one (condition,
     trajectory) pair-batch D is about to see.  ``traj`` is ``[B, H, S]``
     or ``[B, k, H, S]``; per-sample draws are per CONDITION (all k fakes
     of one condition share its offset, keeping the pair consistent).
     Differentiable: gradients flow through ``traj + delta`` to G.
+
+    ``apply_p`` (traced scalar, ADA mode): each condition row is
+    augmented with this probability — a zeroed shift delta and an
+    un-blended cutout are exact identities, so the gated program is the
+    un-gated one with per-sample masks, no recompiles as p moves.
+    ``None`` (fixed-strength DiffAugment) keeps the exact RNG stream of
+    existing configs.
     """
     kinds = frozenset(cfg.diffaug.split(","))
     b = traj.shape[0]
+    apply = None
+    if apply_p is not None:
+        key, k_m = jax.random.split(key)
+        apply = jax.random.bernoulli(k_m, apply_p, (b,)).astype(jnp.float32)
     if "shift" in kinds:
         key, k_s = jax.random.split(key)
         delta = jax.random.uniform(
             k_s, (b, 2), minval=-cfg.diffaug_shift,
             maxval=cfg.diffaug_shift)
+        if apply is not None:
+            delta = delta * apply[:, None]
         lead = (b,) + (1,) * (traj.ndim - 2)
         traj = traj + delta.reshape(*lead, 2)
         if cfg.conditioning == "image":
@@ -152,7 +165,12 @@ def _diffaug(cfg: Config, key: jax.Array, conditions: jnp.ndarray,
             conditions = conditions + jnp.tile(delta, (1, 2))
     if "cutout" in kinds and cfg.conditioning == "image":
         key, k_c = jax.random.split(key)
-        conditions = _cutout_images(k_c, conditions)
+        cut = _cutout_images(k_c, conditions)
+        if apply is not None:
+            sel = apply[:, None, None, None] > 0.5
+            conditions = jnp.where(sel, cut, conditions)
+        else:
+            conditions = cut
     return conditions, traj
 
 
@@ -222,12 +240,20 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
 
     # DiffAugment: independent per-pass draws (the paper's T), split only
     # when enabled so default configs keep their exact RNG streams.
+    # ADA (config.py ada_target): the same transforms, applied per
+    # sample with the CONTROLLER's probability instead of always.
+    ada_on = cfg.ada_target > 0
+    if ada_on and not cfg.diffaug:
+        raise ValueError("ada_target > 0 needs a diffaug transform set "
+                         "(e.g. --set diffaug=shift) — ADA modulates the "
+                         "APPLICATION PROBABILITY of those transforms")
+    ada_p = state.ada["p"] if ada_on else None
     if cfg.diffaug:
         rng, k_ar, k_af, k_ag = jax.random.split(rng, 4)
         cond_real_d, real_for_d = _diffaug(cfg, k_ar, batch.conditions,
-                                           real_for_d)
+                                           real_for_d, apply_p=ada_p)
         cond_fake_d, fake_for_d = _diffaug(cfg, k_af, batch.conditions,
-                                           fake_for_d)
+                                           fake_for_d, apply_p=ada_p)
     else:
         cond_real_d = cond_fake_d = batch.conditions
         k_ag = None
@@ -254,7 +280,14 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         real_logits = disc_fwd(d_params, cond_real_d, real_for_d)
         fake_logits = disc_fwd(d_params, cond_fake_d, fake_for_d)
         loss = d_loss_fn_of(real_logits, fake_logits)
-        aux = {}
+        # The ADA overfitting heuristic r_t = E[sign(D(real))], logged by
+        # EVERY run (metric "d_rt"): the round-4 measurement of whether
+        # the heuristic moves at all in the infinite-synthetic-data
+        # regime (here it tracks D-overpowers-G sharpening, not
+        # memorisation).  Sign convention assumes logit-style D outputs
+        # (bce/hinge; lsgan scores sit near {0,1} so read with care).
+        aux = {"rt": jnp.mean(jnp.sign(
+            real_logits.astype(jnp.float32)))}
         if lc_w > 0:
             # LeCam (config.py lecam_weight): pin each class' logits to
             # the OTHER class' historical mean — the real-fake gap D can
@@ -306,6 +339,26 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         }
     else:
         lecam_ema = state.lecam_ema
+
+    # ADA controller update (config.py ada_target).  The r_t EMA is
+    # tracked by EVERY run (it feeds the always-logged "d_rt" metric and
+    # keeps the TrainState schema uniform); the probability p only moves
+    # when the knob is on.  Same bias-correction scheme as the LeCam
+    # anchors: after n tracker updates the EMA's mass is 1 - decay^n.
+    a_d = cfg.ada_decay
+    ada_r = a_d * state.ada["r"] + (1.0 - a_d) * d_aux["rt"]
+    if ada_on:
+        n1 = state.step.astype(jnp.float32) + 1.0
+        a_corr = 1.0 - jnp.power(jnp.asarray(a_d, jnp.float32), n1)
+        r_hat = ada_r / jnp.maximum(a_corr, jnp.finfo(jnp.float32).tiny)
+        # Karras et al. 2020 feedback rule: ramp p up while D is too
+        # confident on real data (r above target), decay it otherwise.
+        ada_p_new = jnp.clip(
+            state.ada["p"] + jnp.sign(r_hat - cfg.ada_target)
+            * cfg.ada_step, 0.0, cfg.ada_p_max)
+    else:
+        ada_p_new = state.ada["p"]
+    ada = {"r": ada_r, "p": ada_p_new}
 
     # ---------------- G update (against updated D) ----------------
     fm_w = cfg.feature_matching_weight
@@ -387,13 +440,20 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         d_opt_state=d_opt_state,
         g_ema_params=g_ema_params,
         lecam_ema=lecam_ema,
+        ada=ada,
     )
     metrics = {
         "d_loss": d_loss_val,
         "g_adv": g_adv,
         "g_ndiv": g_ndiv,
         "g_total": g_total,
+        # The ADA overfitting heuristic, logged unconditionally: the
+        # round-4 question "does r_t move at all in the infinite-
+        # synthetic-data regime" is answered by every soak's JSONL.
+        "d_rt": d_aux["rt"],
     }
+    if ada_on:
+        metrics["ada_p"] = ada_p_new
     if fm_w > 0:
         metrics["g_fm"] = g_fm
     if cfg.div_floor > 0:

@@ -77,8 +77,11 @@ def restore_latest(workdir: str, state_template):
 def _restore_legacy(mgr, step: int, state_template):
     """Restore an older-schema checkpoint into the current TrainState.
 
-    Two legacy generations, tried newest-first:
+    Three legacy generations, tried newest-first:
 
+    - pre-``ada`` (rounds 2-3, including the shipped family
+      checkpoints): the ADA controller state is missing — restored as
+      zeros (augmentation off, the controller's own cold start).
     - pre-``lecam_ema`` (mid round 3): the LeCam trackers are missing —
       restored as zeros.  (If such a run resumes WITH lecam newly
       enabled, the anchors re-warm over ~1/(1-decay) steps: the bias
@@ -92,27 +95,33 @@ def _restore_legacy(mgr, step: int, state_template):
     import jax
     import jax.numpy as jnp
 
-    from ndivplanning_tpu.train.state import fresh_lecam_ema
+    from ndivplanning_tpu.train.state import fresh_ada, fresh_lecam_ema
 
     def _template_without(missing):
         return {f.name: getattr(state_template, f.name)
                 for f in dataclasses.fields(state_template)
                 if f.name not in missing}
 
-    fresh_lecam = fresh_lecam_ema()
+    fresh = {"ada": fresh_ada()}
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(
-            _template_without(("lecam_ema",))))
-        return dataclasses.replace(state_template, **restored,
-                                   lecam_ema=fresh_lecam)
+            _template_without(("ada",))))
+        return dataclasses.replace(state_template, **restored, **fresh)
+    except ValueError:
+        pass
+    fresh["lecam_ema"] = fresh_lecam_ema()
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(
+            _template_without(("ada", "lecam_ema"))))
+        return dataclasses.replace(state_template, **restored, **fresh)
     except ValueError:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(
-            _template_without(("lecam_ema", "g_ema_params"))))
+            _template_without(("ada", "lecam_ema", "g_ema_params"))))
         return dataclasses.replace(
             state_template,
             **restored,
             g_ema_params=jax.tree.map(jnp.copy, restored["g_params"]),
-            lecam_ema=fresh_lecam,
+            **fresh,
         )
 
 

@@ -100,6 +100,24 @@ class Config:
     # configs are untouched).
     diffaug: str = ""
     diffaug_shift: float = 0.125
+    # ADA-style ADAPTIVE augmentation (Karras et al. 2020): the
+    # ``diffaug`` transform set applied with per-sample probability p,
+    # where p is driven by the overfitting heuristic
+    # r_t = E[sign(D(real_logits))] — when D grows too confident on real
+    # data (r_ema above ``ada_target``) p ramps up, when it falls below,
+    # p decays.  The feedback remedy for exactly the measured
+    # fixed-strength-DiffAugment failure (peak then collapse,
+    # BASELINE.md round 3).  Requires ``diffaug`` non-empty; controller
+    # state (r EMA + p) lives in TrainState.ada.  ``ada_target=0``
+    # disables (fixed-strength DiffAugment behaviour unchanged).
+    # NOTE this regime has INFINITE synthetic data — r_t here measures
+    # D-overpowers-G sharpening, not memorisation; the heuristic's
+    # movement is itself a round-4 measurement (``d_rt`` is logged by
+    # every run).
+    ada_target: float = 0.0
+    ada_step: float = 0.002  # p increment per train step
+    ada_decay: float = 0.99  # r_t EMA decay
+    ada_p_max: float = 0.8  # augmentation probability ceiling
     # Top-k generator update (Sinha et al. 2020): G's adversarial loss
     # backprops only through the topk_g_fraction of its B*k fakes that D
     # scores most real (the "easiest" fakes teach G nothing; the most

@@ -92,7 +92,7 @@ def test_legacy_checkpoint_without_ema_restores(tmp_path):
 
     cfg = _cfg(tmp_path)
     state = create_train_state(cfg)
-    _save_legacy(tmp_path, state, ("g_ema_params", "lecam_ema"))
+    _save_legacy(tmp_path, state, ("g_ema_params", "lecam_ema", "ada"))
 
     restored = ckpt.restore_latest(str(tmp_path), state)
     assert restored is not None
@@ -118,7 +118,7 @@ def test_legacy_checkpoint_without_lecam_restores(tmp_path):
     # value (not a reseed) is what comes back.
     state = state.replace(g_ema_params=jax.tree.map(
         lambda p: p + jnp.float32(1.0), state.g_params))
-    _save_legacy(tmp_path, state, ("lecam_ema",))
+    _save_legacy(tmp_path, state, ("lecam_ema", "ada"))
 
     template = create_train_state(cfg)
     restored = ckpt.restore_latest(str(tmp_path), template)
@@ -127,5 +127,33 @@ def test_legacy_checkpoint_without_lecam_restores(tmp_path):
                     jax.tree.leaves(restored.g_ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(restored.lecam_ema["real"]) == 0.0
+    s2, _ = train_step_fused(cfg, restored)
+    assert int(s2.step) == 1
+
+
+def test_legacy_checkpoint_without_ada_restores(tmp_path):
+    """Round-2/3 checkpoints (everything but the ADA controller state —
+    the shipped family checkpoints' generation) restore with ada zeroed
+    (augmentation off: the controller's own cold start) and every stored
+    field kept."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(tmp_path)
+    state = create_train_state(cfg)
+    state = state.replace(lecam_ema={"real": jnp.float32(0.25),
+                                     "fake": jnp.float32(-0.5)})
+    _save_legacy(tmp_path, state, ("ada",))
+
+    template = create_train_state(cfg)
+    restored = ckpt.restore_latest(str(tmp_path), template)
+    assert restored is not None
+    assert float(restored.lecam_ema["real"]) == 0.25
+    assert float(restored.lecam_ema["fake"]) == -0.5
+    assert float(restored.ada["p"]) == 0.0
+    assert float(restored.ada["r"]) == 0.0
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     s2, _ = train_step_fused(cfg, restored)
     assert int(s2.step) == 1

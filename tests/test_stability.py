@@ -256,3 +256,72 @@ def test_lecam_bounds_the_real_fake_gap_when_d_overpowers():
     control, lecam = gap(0.0), gap(0.3)
     assert control > 1.0          # the pathology actually manifests
     assert lecam < 0.5 * control  # and the regulariser bounds it
+
+
+# ------------------------- round-4: ADA adaptive augmentation ---------
+
+
+def test_ada_requires_diffaug():
+    """ada_target without a transform set is a config error, raised at
+    trace time with an actionable message."""
+    cfg = _tiny("goalcond", diffaug="", ada_target=0.6)
+    state = create_train_state(cfg)
+    with pytest.raises(ValueError, match="diffaug"):
+        train_chunk(cfg, state, 1)
+
+
+def test_ada_p_zero_is_identity():
+    """_diffaug with apply_p=0 must be an exact identity on both the
+    trajectory and the condition (the controller's cold start changes
+    nothing) — for shift on startgoal AND shift+cutout on image."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndivplanning_tpu.train.step import _diffaug
+
+    cfg = _tiny("goalcond", diffaug="shift")
+    key = jax.random.PRNGKey(3)
+    conds = jax.random.normal(key, (4, 4))
+    traj = jax.random.normal(key, (4, 8, 2))
+    c0, t0 = _diffaug(cfg, key, conds, traj, apply_p=jnp.asarray(0.0))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(conds))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(traj))
+
+    cfg_im = _tiny(diffaug="shift,cutout")
+    img = jax.random.uniform(key, (4, 16, 16, 1))
+    c1, t1 = _diffaug(cfg_im, key, img, traj, apply_p=jnp.asarray(0.0))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(traj))
+
+
+def test_ada_controller_moves_p_and_logs_metrics():
+    """With ADA on, the controller state updates in-program: p moves by
+    +-ada_step per step within [0, ada_p_max], the ada_p metric is
+    emitted, and d_rt (always-on heuristic) stays in [-1, 1]."""
+    cfg = _tiny("goalcond", diffaug="shift", ada_target=0.05,
+                ada_step=0.01, ada_p_max=0.5)
+    state = create_train_state(cfg)
+    n = 20
+    state, metrics = train_chunk(cfg, state, n)
+    rt = np.asarray(metrics["d_rt"])
+    assert rt.shape == (n,)
+    assert np.all(rt >= -1.0) and np.all(rt <= 1.0)
+    p_hist = np.asarray(metrics["ada_p"])
+    assert np.all(p_hist >= 0.0) and np.all(p_hist <= cfg.ada_p_max + 1e-7)
+    # Per-step movement is exactly one controller increment (or a clip).
+    steps = np.diff(np.concatenate([[0.0], p_hist]))
+    assert np.all(np.abs(steps) <= cfg.ada_step + 1e-7)
+    # The carried state matches the last logged value.
+    assert float(state.ada["p"]) == pytest.approx(float(p_hist[-1]))
+    assert np.isfinite(float(state.ada["r"]))
+
+
+def test_ada_off_keeps_rt_logged_and_p_frozen():
+    """The heuristic is measured by every run; p stays at the zero init
+    when the knob is off (and no ada_p metric is emitted)."""
+    cfg = _tiny("goalcond", diffaug="shift")
+    state = create_train_state(cfg)
+    state, metrics = train_chunk(cfg, state, 3)
+    assert "d_rt" in metrics and "ada_p" not in metrics
+    assert float(state.ada["p"]) == 0.0
+    assert np.isfinite(float(state.ada["r"]))
