@@ -51,8 +51,17 @@ def main():
         x = jax.random.normal(key, (b, k, dx))
         row = {"B": b, "k": k, "dz": dz, "dx": dx, "reps": REPS,
                "backend": jax.default_backend()}
-        for name, impl in [("pallas", ndiv_loss_fused),
-                           ("jnp", ndiv_loss_reference)]:
+        # "pallas" = shipped default (block); "pallas_group" = the
+        # round-4 group-packed decomposition (g = 128//kp sample-blocks
+        # fused per full-lane Gram tile — the 'different decomposition'
+        # named by the round-3 tile-sweep closure).
+        for name, impl in [
+            ("pallas", ndiv_loss_fused),
+            ("pallas_group",
+             lambda zz, xx, a: ndiv_loss_fused(zz, xx, a,
+                                               variant="group")),
+            ("jnp", ndiv_loss_reference),
+        ]:
             # lax.scan the VALUE+grad computation REPS times with
             # per-iteration perturbed inputs (defeats CSE), accumulating
             # value and grad sums; one dispatch + one fetch measures pure
@@ -82,6 +91,10 @@ def main():
             row[f"{name}_pairs_per_sec"] = round(pairs / t, 1)
         row["speedup_fwdbwd"] = round(
             row["jnp_fwdbwd_us"] / row["pallas_fwdbwd_us"], 2)
+        row["group_speedup_fwdbwd"] = round(
+            row["jnp_fwdbwd_us"] / row["pallas_group_fwdbwd_us"], 2)
+        row["group_vs_block"] = round(
+            row["pallas_fwdbwd_us"] / row["pallas_group_fwdbwd_us"], 2)
         results.append(row)
         print(json.dumps(row), flush=True)
 

@@ -199,11 +199,22 @@ def _block_distances(a, valid):
     return d, r, n
 
 
+def _tile_masks(kb: int, kp: int, k: int):
+    """Within-tile validity for a ``[kb, kb]`` Gram holding kb//kp packed
+    sample-blocks: same-block, within-k, off-diagonal.  For kb == kp this
+    reduces exactly to :func:`_block_masks` (one block per Gram); the
+    "group" variant uses kb = g*kp so g blocks share one full-lane tile."""
+    if kb == kp:
+        return _block_masks(kp, k)
+    return _masks(kb, kp, k)
+
+
 def _fwd_kernel_block(z_ref, x_ref, out_ref, *, kp: int, k: int, tb: int,
-                      alpha: float):
-    valid = _block_masks(kp, k)
-    z = z_ref[:].reshape(tb, kp, z_ref.shape[-1])
-    x = x_ref[:].reshape(tb, kp, x_ref.shape[-1])
+                      alpha: float, kb: int | None = None):
+    kb = kp if kb is None else kb
+    valid = _tile_masks(kb, kp, k)
+    z = z_ref[:].reshape(tb, kb, z_ref.shape[-1])
+    x = x_ref[:].reshape(tb, kb, x_ref.shape[-1])
     _, _, nz = _block_distances(z, valid)
     _, _, nx = _block_distances(x, valid)
     hinge = jnp.maximum(alpha * nz - nx, 0.0)
@@ -216,10 +227,12 @@ def _fwd_kernel_block(z_ref, x_ref, out_ref, *, kp: int, k: int, tb: int,
 
 
 def _bwd_kernel_block(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int,
-                      k: int, tb: int, alpha: float, inv_m: float):
-    valid = _block_masks(kp, k)
-    z = z_ref[:].reshape(tb, kp, z_ref.shape[-1])
-    x = x_ref[:].reshape(tb, kp, x_ref.shape[-1])
+                      k: int, tb: int, alpha: float, inv_m: float,
+                      kb: int | None = None):
+    kb = kp if kb is None else kb
+    valid = _tile_masks(kb, kp, k)
+    z = z_ref[:].reshape(tb, kb, z_ref.shape[-1])
+    x = x_ref[:].reshape(tb, kb, x_ref.shape[-1])
     dz_mat, rz, nz = _block_distances(z, valid)
     dx_mat, rx, nx = _block_distances(x, valid)
 
@@ -246,12 +259,13 @@ def _bwd_kernel_block(z_ref, x_ref, g_ref, dz_ref, dx_ref, *, kp: int,
 
     gz = grad_wrt_points(z, dz_mat, rz, nz, alpha * s)
     gx = grad_wrt_points(x, dx_mat, rx, nx, -s)
-    dz_ref[:] = gz.reshape(tb * kp, z_ref.shape[-1])
-    dx_ref[:] = gx.reshape(tb * kp, x_ref.shape[-1])
+    dz_ref[:] = gz.reshape(tb * kb, z_ref.shape[-1])
+    dx_ref[:] = gx.reshape(tb * kb, x_ref.shape[-1])
 
 
 def _joint_kernel_block(z_ref, x_ref, out_ref, dz_ref, dx_ref, *, kp: int,
-                        k: int, tb: int, alpha: float, inv_m: float):
+                        k: int, tb: int, alpha: float, inv_m: float,
+                        kb: int | None = None):
     """Fused loss + UNIT-cotangent grads in one VMEM pass (round 3).
 
     Training always wants both the loss and its input grads, and the loss
@@ -262,9 +276,10 @@ def _joint_kernel_block(z_ref, x_ref, out_ref, dz_ref, dx_ref, *, kp: int,
     forward had) and drops one kernel launch + one (z, x) re-pack.
     Eval-only forwards keep the cheap `_fwd_kernel_block`.
     """
-    valid = _block_masks(kp, k)
-    z = z_ref[:].reshape(tb, kp, z_ref.shape[-1])
-    x = x_ref[:].reshape(tb, kp, x_ref.shape[-1])
+    kb = kp if kb is None else kb
+    valid = _tile_masks(kb, kp, k)
+    z = z_ref[:].reshape(tb, kb, z_ref.shape[-1])
+    x = x_ref[:].reshape(tb, kb, x_ref.shape[-1])
     dz_mat, rz, nz = _block_distances(z, valid)
     dx_mat, rx, nx = _block_distances(x, valid)
 
@@ -298,8 +313,8 @@ def _joint_kernel_block(z_ref, x_ref, out_ref, dz_ref, dx_ref, *, kp: int,
 
     gz = grad_wrt_points(z, dz_mat, rz, nz, alpha * s)
     gx = grad_wrt_points(x, dx_mat, rx, nx, -s)
-    dz_ref[:] = gz.reshape(tb * kp, z_ref.shape[-1])
-    dx_ref[:] = gx.reshape(tb * kp, x_ref.shape[-1])
+    dz_ref[:] = gz.reshape(tb * kb, z_ref.shape[-1])
+    dx_ref[:] = gx.reshape(tb * kb, x_ref.shape[-1])
 
 
 def _plan_block(batch: int, k: int,
@@ -312,6 +327,38 @@ def _plan_block(batch: int, k: int,
     return kp, tb, row_tile, grid, batch_pad
 
 
+_LANE = 128  # TPU lane width: the "group" variant's Gram tile target
+
+
+def _plan_group(batch: int, k: int,
+                target: int = _BLOCK_ROW_TILE_TARGET):
+    """Tile plan for the GROUP-packed variant (round 4, the 'different
+    decomposition' named by the round-3 tile-sweep closure).
+
+    The block variant's per-block ``[kp, kp]`` Grams put kp on the
+    128-lane axis — at the contract k=8 that is 6% lane occupancy, and
+    the batched MXU matmul runs TB mostly-empty systolic passes.  Here
+    ``g = 128 // kp`` consecutive sample-blocks fuse into ONE
+    ``[g*kp = 128, 128]`` Gram tile: full MXU tiles and full VPU lanes,
+    with the same block-diagonal mask confining the math — wasted
+    element FRACTION rises from 0 to (g-1)/g, but those elements ride
+    otherwise-idle lanes.  (The packed variant is the g = TB extreme:
+    full lanes but R/kp x wasted MXU FLOPs; group caps the waste at g.)
+
+    Returns (kp, kb, tb, row_tile, grid, batch_pad): ``kb = g*kp`` rows
+    per fused Gram, ``tb`` fused Grams per grid step.
+    """
+    kp = _round_up(k, _SUBLANE)
+    g = max(1, _LANE // kp)
+    kb = g * kp
+    tb = max(1, target // kb)
+    row_tile = tb * kb
+    blocks_per_tile = tb * g
+    batch_pad = _round_up(batch, blocks_per_tile)
+    grid = batch_pad // blocks_per_tile
+    return kp, kb, tb, row_tile, grid, batch_pad
+
+
 def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -320,11 +367,13 @@ def _fused_available(k: int) -> bool:
     return 2 <= k and _round_up(k, _SUBLANE) <= _MAX_KP
 
 
-# Default kernel variant: "block" (per-block batched Grams) or "packed"
-# (one [R, R] Gram + block-diagonal mask).  Select per-call with the
-# explicit ``variant`` argument — it is a static argument, so it keys the
-# jit cache correctly (a mutable global would not retrigger compilation).
-VARIANT = "block"
+# Default kernel variant: "block" (per-block batched Grams), "group"
+# (g = 128//kp blocks fused per full-lane Gram tile — see _plan_group),
+# or "packed" (one [R, R] Gram + block-diagonal mask).  Select per-call
+# with the explicit ``variant`` argument — it is a static argument, so it
+# keys the jit cache correctly (a mutable global would not retrigger
+# compilation).  NDIV_VARIANT overrides the default (on-chip A/B sweeps).
+VARIANT = os.environ.get("NDIV_VARIANT", "block")
 
 
 def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
@@ -338,6 +387,11 @@ def _fwd_sum(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
             batch, k, _BLOCK_ROW_TILE_TARGET_FWD)
         kernel = functools.partial(_fwd_kernel_block, kp=kp, k=k, tb=tb,
                                    alpha=float(alpha))
+    elif variant == "group":
+        kp, kb, tb, row_tile, grid, batch_pad = _plan_group(
+            batch, k, _BLOCK_ROW_TILE_TARGET_FWD)
+        kernel = functools.partial(_fwd_kernel_block, kp=kp, k=k, tb=tb,
+                                   alpha=float(alpha), kb=kb)
     else:
         kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
         kernel = functools.partial(_fwd_kernel, kp=kp, k=k,
@@ -377,6 +431,10 @@ def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
         kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
         kernel = functools.partial(_bwd_kernel_block, kp=kp, k=k, tb=tb,
                                    alpha=float(alpha), inv_m=1.0 / m)
+    elif variant == "group":
+        kp, kb, tb, row_tile, grid, batch_pad = _plan_group(batch, k)
+        kernel = functools.partial(_bwd_kernel_block, kp=kp, k=k, tb=tb,
+                                   alpha=float(alpha), inv_m=1.0 / m, kb=kb)
     else:
         kp, tb, row_tile, grid, batch_pad = _plan(batch, k)
         kernel = functools.partial(_bwd_kernel, kp=kp, k=k,
@@ -420,8 +478,9 @@ def _bwd_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
     return unpack(dz2, dz_dim, z.dtype), unpack(dx2, dx_dim, x.dtype)
 
 
-def _joint_loss_and_unit_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float):
-    """(loss, dloss/dz, dloss/dx) in ONE kernel pass (block layout).
+def _joint_loss_and_unit_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float,
+                               variant: str = "block"):
+    """(loss, dloss/dz, dloss/dx) in ONE kernel pass (block/group layout).
 
     The grads carry unit upstream cotangent; the VJP scales them by ``g``
     outside (a scalar multiply XLA fuses into the surrounding graph).
@@ -432,9 +491,14 @@ def _joint_loss_and_unit_grads(z: jnp.ndarray, x: jnp.ndarray, alpha: float):
     dx_dim = x.shape[-1]
     batch = math.prod(lead)
     m = batch * k * (k - 1)
-    kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
-    kernel = functools.partial(_joint_kernel_block, kp=kp, k=k, tb=tb,
-                               alpha=float(alpha), inv_m=1.0 / m)
+    if variant == "group":
+        kp, kb, tb, row_tile, grid, batch_pad = _plan_group(batch, k)
+        kernel = functools.partial(_joint_kernel_block, kp=kp, k=k, tb=tb,
+                                   alpha=float(alpha), inv_m=1.0 / m, kb=kb)
+    else:
+        kp, tb, row_tile, grid, batch_pad = _plan_block(batch, k)
+        kernel = functools.partial(_joint_kernel_block, kp=kp, k=k, tb=tb,
+                                   alpha=float(alpha), inv_m=1.0 / m)
     z2 = _pack(z, k, kp, batch, batch_pad)
     x2 = _pack(x, k, kp, batch, batch_pad)
 
@@ -494,8 +558,9 @@ def _vjp_fwd(z, x, alpha, variant):
     # residuals are the unit-cotangent grads themselves, so the backward
     # is a scalar multiply — no second kernel pass.  "packed" (and the
     # unsupported-shape fallback) keep the recompute-in-backward scheme.
-    if _JOINT and variant == "block" and _fused_available(z.shape[-2]):
-        loss, dz_u, dx_u = _joint_loss_and_unit_grads(z, x, alpha)
+    if (_JOINT and variant in ("block", "group")
+            and _fused_available(z.shape[-2])):
+        loss, dz_u, dx_u = _joint_loss_and_unit_grads(z, x, alpha, variant)
         return loss, (None, None, dz_u, dx_u)
     return _ndiv_loss_fused(z, x, alpha, variant), (z, x, None, None)
 
@@ -528,7 +593,8 @@ def ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray, alpha: float = 0.8,
     ndiv_loss_reference`; parity-tested against it (tests/test_ndiv_pallas.py).
     Falls back to the jnp path for unsupported shapes (k < 2 handled there,
     kp > _MAX_KP).  ``variant`` selects the kernel layout ("block" default
-    / "packed") as a static argument, so it participates in jit caches.
+    / "group" / "packed") as a static argument, so it participates in jit
+    caches.
     """
     if z.shape[:-1] != x.shape[:-1]:
         raise ValueError(

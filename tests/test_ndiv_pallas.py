@@ -96,7 +96,7 @@ def test_both_kernel_variants_parity():
     ref_g = jax.grad(lambda a, b: ndiv_loss_reference(a, b, 0.8),
                      argnums=(0, 1))(z, x)
     del ndiv_pallas  # variant is an explicit static argument
-    for variant in ("block", "packed"):
+    for variant in ("block", "group", "packed"):
         got = float(ndiv_loss_fused(z, x, 0.8, variant=variant))
         np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=variant)
         g = jax.grad(lambda a, b: ndiv_loss_fused(a, b, 0.8, variant=variant),
@@ -160,3 +160,31 @@ def test_joint_kernel_value_matches_fwd_only_and_scales_cotangent():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(gx3), 3.0 * np.asarray(gx),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_group_variant_padding_and_multitile_parity():
+    """Group-packed variant (round 4): shapes that exercise (a) batch
+    padding up to a whole group-tile, (b) multiple grid steps, and (c)
+    sublane-padded odd k — values AND grads vs the jnp reference."""
+    for seed, (b, k, dz, dx) in enumerate(
+            [(3, 8, 2, 16),      # pads 3 -> blocks_per_tile
+             (300, 8, 2, 16),    # multi-tile at the contract k
+             (40, 32, 2, 16),    # kb = 128 with kp = 32 (g = 4)
+             (9, 5, 3, 7),       # kp = 8 > k: in_k masking inside groups
+             (4, 128, 2, 16)]):  # kp >= lane width: g = 1 (= block)
+        z, x = _case(700 + seed, b, k, dz, dx)
+        want = float(ndiv_loss_reference(z, x, 0.8))
+        got = float(ndiv_loss_fused(z, x, 0.8, variant="group"))
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=f"b={b} k={k}")
+        ref_g = jax.grad(lambda a, c: ndiv_loss_reference(a, c, 0.8),
+                         argnums=(0, 1))(z, x)
+        g = jax.grad(lambda a, c: ndiv_loss_fused(a, c, 0.8,
+                                                  variant="group"),
+                     argnums=(0, 1))(z, x)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(ref_g[0]),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"b={b} k={k}")
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(ref_g[1]),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"b={b} k={k}")
