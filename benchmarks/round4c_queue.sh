@@ -53,6 +53,14 @@ leg ilqr_study 7200 python benchmarks/ilqr_bench.py 64 quadrotor150k
 # c3: kernel decomposition A/B at contract shapes.
 leg kernel_ab 3600 python benchmarks/ndiv_kernel_bench.py
 
+# c3b: serving round-4 legs — above-capacity admission control
+# (VERDICT #3) and reload-under-fire (VERDICT #8) over the served
+# 0.833 planning512 model, like the r3p rows.
+SERVING_LEGS=overload,reload \
+SERVING_BENCH_WORKDIR=checkpoints/planning512 \
+SERVING_OUT=benchmarks/serving_results_r4.json \
+  leg serving_r4 5400 python benchmarks/serving_bench.py 20
+
 # c4: transformer tuning matrix (bf16, warmup, 2 LRs x 3 seeds).
 export CONVERGENCE_CHUNK_CAP=2000
 for lr in 0.0001 0.00005; do

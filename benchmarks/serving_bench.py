@@ -282,6 +282,202 @@ def bench_concurrent_tcp(cfg, state, n_clients: int, reqs_per_client: int,
     }
 
 
+def bench_overload(cfg, state, offered_qps: float, n_requests: int,
+                   max_pending: int = 32,
+                   deadline_ms: float = 500.0) -> dict:
+    """Above-capacity behaviour WITH admission control (round-4 VERDICT
+    #3): drive ~2x the measured capacity at a cross-batching server
+    bounded by ``max_pending`` + a queueing deadline, and check that
+    (a) accepted requests keep a bounded tail, (b) the excess is shed
+    with explicit {"error": "overloaded"} / {"error":
+    "deadline_exceeded"} answers rather than unbounded queue growth.
+
+    Load shape: M sender threads, each its own TCP connection firing on
+    a fixed schedule (aggregate = ``offered_qps``) and reading one
+    response per request — open-loop in aggregate (arrivals do not slow
+    when the server queues), per-connection FIFO so send/response
+    pairing is exact.  Senders that fall behind schedule skip ahead
+    (the standard load-generator convention) so offered rate is honest.
+    """
+    import socket
+
+    from ndivplanning_tpu.planning.server import serve_tcp, serving_stats
+
+    n_conns = 32
+    server = serve_tcp(cfg, state, port=0, cross_batch=True,
+                       max_pending=max_pending, deadline_ms=deadline_ms)
+    host, port = server.server_address[:2]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+    stats_before = serving_stats()
+    req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
+                      "obstacles": [[0.5, 0.5, 0.1]]}) + "\n"
+    per_thread = n_requests // n_conns
+    period = n_conns / offered_qps
+    ok_lat: list[float] = []
+    outcomes = {"ok": 0, "overloaded": 0, "deadline_exceeded": 0,
+                "other_error": 0, "unanswered": 0}
+    lock = threading.Lock()
+    t_start = time.perf_counter() + 0.25  # let every sender arm
+
+    def sender(idx: int) -> None:
+        with socket.create_connection((host, port), timeout=600) as s:
+            r = s.makefile("r", encoding="utf-8")
+            w = s.makefile("w", encoding="utf-8")
+            for i in range(per_thread):
+                target = t_start + (i + idx / n_conns) * period
+                now = time.perf_counter()
+                if target > now:
+                    time.sleep(target - now)
+                t0 = time.perf_counter()
+                w.write(req)
+                w.flush()
+                line = r.readline()
+                dt = time.perf_counter() - t0
+                with lock:
+                    if not line:
+                        outcomes["unanswered"] += 1
+                        return
+                    resp = json.loads(line)
+                    err = resp.get("error")
+                    if err is None:
+                        outcomes["ok"] += 1
+                        ok_lat.append(dt)
+                    elif err in ("overloaded", "deadline_exceeded"):
+                        outcomes[err] += 1
+                    else:
+                        outcomes["other_error"] += 1
+            w.write("quit\n")
+            w.flush()
+
+    threads = [threading.Thread(target=sender, args=(i,))
+               for i in range(n_conns)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    elapsed = time.perf_counter() - t_start
+    server.shutdown()
+    server.server_close()
+    stats_after = serving_stats()
+    lat_ms = np.asarray(ok_lat) * 1e3 if ok_lat else np.asarray([0.0])
+    total = sum(outcomes.values())
+    return {
+        "offered_qps": offered_qps,
+        "n_requests": total,
+        "max_pending": max_pending,
+        "deadline_ms": deadline_ms,
+        "outcomes": outcomes,
+        "shed_rate": round(
+            (outcomes["overloaded"] + outcomes["deadline_exceeded"])
+            / max(total, 1), 3),
+        "accepted_qps": round(outcomes["ok"] / elapsed, 1),
+        "accepted_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "accepted_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "server_shed": stats_after["shed_requests"]
+        - stats_before["shed_requests"],
+        "server_expired": stats_after["expired_requests"]
+        - stats_before["expired_requests"],
+    }
+
+
+def bench_reload_under_fire(cfg, state, n_clients: int,
+                            reqs_per_client: int,
+                            reload_every_s: float = 1.0) -> dict:
+    """Hot-swap under sustained load (round-4 VERDICT #8): N closed-loop
+    TCP clients while a control connection fires protocol ``reload``
+    lines throughout.  Asserts the ops contract: every client request
+    answered with a valid plan (zero errors, zero drops), every reload
+    acknowledged, and — same pytree shapes — zero new compiles (swaps
+    apply at burst boundaries; the per-bucket jit cache is reused).
+    """
+    import socket
+
+    from ndivplanning_tpu.planning.server import serve_tcp
+
+    # reload_fn returns a FRESH state object (the real loader path
+    # returns a newly restored pytree; what matters for the swap
+    # semantics and the recompile claim is new buffers, same shapes).
+    reloads_served = []
+    server = serve_tcp(cfg, state, port=0, cross_batch=True,
+                       reload_fn=lambda: state)
+    host, port = server.server_address[:2]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+    req = json.dumps({"start": [0.1, 0.1], "goal": [0.9, 0.9],
+                      "obstacles": [[0.5, 0.5, 0.1]]}) + "\n"
+    errors: list[str] = []
+    lat: list[float] = []
+    lock = threading.Lock()
+    done = threading.Event()
+
+    def client() -> None:
+        with socket.create_connection((host, port), timeout=600) as s:
+            r = s.makefile("r", encoding="utf-8")
+            w = s.makefile("w", encoding="utf-8")
+            for _ in range(reqs_per_client):
+                t0 = time.perf_counter()
+                w.write(req)
+                w.flush()
+                resp = json.loads(r.readline())
+                dt = time.perf_counter() - t0
+                with lock:
+                    if "error" in resp:
+                        errors.append(resp["error"])
+                    else:
+                        lat.append(dt)
+            w.write("quit\n")
+            w.flush()
+
+    def reloader() -> None:
+        with socket.create_connection((host, port), timeout=600) as s:
+            r = s.makefile("r", encoding="utf-8")
+            w = s.makefile("w", encoding="utf-8")
+            while True:
+                # Fire the first reload IMMEDIATELY (a run shorter than
+                # the period must still hot-swap at least once), then on
+                # the fixed cadence until the clients finish.
+                w.write("reload\n")
+                w.flush()
+                resp = json.loads(r.readline())
+                reloads_served.append(bool(resp.get("reloaded")))
+                if done.wait(reload_every_s):
+                    break
+            w.write("quit\n")
+            w.flush()
+
+    from ndivplanning_tpu.utils.compile_guard import start_compile_count
+
+    compile_rec, stop_count = start_compile_count()
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    rl = threading.Thread(target=reloader)
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    rl.start()
+    for t in threads:
+        t.join(timeout=900)
+    elapsed = time.perf_counter() - t_start
+    done.set()
+    rl.join(timeout=30)
+    server.shutdown()
+    server.server_close()
+    stop_count()
+    lat_ms = np.asarray(lat) * 1e3 if lat else np.asarray([0.0])
+    return {
+        "n_clients": n_clients,
+        "reqs_per_client": reqs_per_client,
+        "answered_ok": len(lat),
+        "errors": len(errors),
+        "reloads": len(reloads_served),
+        "reloads_ok": sum(reloads_served),
+        "aggregate_qps": round(len(lat) / elapsed, 1),
+        "client_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "client_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "new_compiles_during_fire": compile_rec.count,
+    }
+
+
 def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sustained = [float(q) for q in sys.argv[2:]] or [20.0, 45.0]
@@ -307,6 +503,25 @@ def main() -> None:
     # Pre-compile every serving bucket so sustained rows measure steady
     # state, not the first-request compile.
     warmup(cfg, state)
+    # SERVING_LEGS selects a subset ("overload,reload") so the round-4
+    # legs can run standalone without re-measuring the r3 scenario set.
+    legs = os.environ.get("SERVING_LEGS", "")
+    if legs:
+        want = set(legs.split(","))
+        result = {"backend": jax.default_backend(),
+                  "n_candidates": cfg.n_candidates}
+        if "overload" in want:
+            # ~2x the measured 45-QPS capacity edge (BASELINE.md r3p).
+            result["overload"] = bench_overload(cfg, state, 100.0, 640)
+        if "reload" in want:
+            result["reload_under_fire"] = bench_reload_under_fire(
+                cfg, state, 8, max(n_iters, 10))
+        print(json.dumps(result))
+        out = os.environ.get("SERVING_OUT")
+        if out:  # queue runs log stdout; the artifact needs its own file
+            with open(out, "w") as f:
+                json.dump(result, f, indent=1)
+        return
     result = {
         "backend": jax.default_backend(),
         "n_candidates": cfg.n_candidates,
