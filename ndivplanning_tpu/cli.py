@@ -360,6 +360,14 @@ def main(argv=None) -> int:
             p.add_argument("--distill-workdir", default=None,
                            help="where round datasets/checkpoints go "
                                 "(default <workdir>/distill)")
+            p.add_argument("--min-diversity-frac", type=float,
+                           default=0.5,
+                           help="reject a round whose frozen-suite mean "
+                                "pairwise distance falls below this "
+                                "fraction of the pre-iteration value "
+                                "(a +success round that collapsed "
+                                "multimodality is not a win; 0 "
+                                "disables)")
         if name == "train":
             p.add_argument("--dataset", default=None,
                            help="train from a recorded .npz dataset "
@@ -440,7 +448,7 @@ def main(argv=None) -> int:
             planner=args.planner, replan_every=args.mpc_replan,
             n_candidates=args.mpc_candidates,
             workdir=args.distill_workdir, suite_scenes=args.suite_size,
-            echo=True)
+            echo=True, min_diversity_frac=args.min_diversity_frac)
         print(json.dumps({"rounds": report}))
         return 0
 

@@ -272,7 +272,8 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
                      total_steps: Optional[int] = None,
                      n_candidates: int = 256, scene_chunk: int = 128,
                      workdir: Optional[str] = None, seed: int = RECORD_SEED,
-                     suite_scenes: int = 512, echo: bool = False):
+                     suite_scenes: int = 512, echo: bool = False,
+                     min_diversity_frac: float = 0.5):
     """Iterated distillation: record planner successes -> GAN fine-tune
     on them -> frozen-suite eval; keep a round only if the tracked
     metric improves (monotone expert iteration).
@@ -282,6 +283,16 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
     list of per-round dicts (record stats, before/after frozen-suite
     metrics, accepted flag).  ``suite_scenes`` controls the
     before/after measurement (512 = the standard frozen protocol).
+
+    ``min_diversity_frac`` guards the OTHER half of the contract:
+    the quadrotor round-4 study measured a round "win" (+0.018 success)
+    whose eval_ndiv had collapsed 36x and mean pairwise distance halved
+    — a distilled generator that lost its multimodality is not an
+    improvement for a diverse planner.  A round is accepted only if
+    eval_mean_pairwise_dist stays >= this fraction of the PRE-ITERATION
+    value (0 disables).  The mitigation for tripping it is per_scene > 1
+    (diverse expert draws per condition keep the target conditional
+    distribution multimodal).
     """
     from ndivplanning_tpu.data.host_pipeline import ArrayDataset
     from ndivplanning_tpu.train.loop import train_from_dataset
@@ -295,6 +306,10 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
     report = []
     before = _suite_metrics(cfg, state, suite_scenes)
     best_val = before.get(track)
+    # The diversity floor anchors at the PRE-ITERATION model: later
+    # accepted rounds must each still clear it (no ratcheting down).
+    div_floor = (min_diversity_frac
+                 * before.get("eval_mean_pairwise_dist", 0.0))
     for r in range(rounds):
         round_dir = os.path.join(workdir, f"round_{r}")
         npz = os.path.join(round_dir, "expert.npz")
@@ -334,6 +349,12 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
         from ndivplanning_tpu.train.loop import _improved
 
         accepted = _improved(track, after.get(track), best_val)
+        div_after = after.get("eval_mean_pairwise_dist", 0.0)
+        if accepted and div_after < div_floor:
+            accepted = False
+            row["rejected_for_diversity"] = {
+                "eval_mean_pairwise_dist": div_after,
+                "floor": div_floor}
         row["accepted"] = bool(accepted)
         if accepted:
             state = cand

@@ -165,3 +165,52 @@ def test_train_from_dataset_eval_suite_exclusive(tmp_path):
         train_from_dataset(cfg.replace(batch_size=4), ds, num_epochs=1,
                            state=create_train_state(cfg), restore=False,
                            eval_dataset=ds, eval_suite=True)
+
+
+def test_diversity_guard_rejects_collapsed_round(tmp_path, monkeypatch):
+    """A round whose frozen-suite success improves but whose mean
+    pairwise distance fell below min_diversity_frac * pre-iteration
+    value must be REJECTED (the quadrotor round-4 failure mode: +0.018
+    success at 36x-collapsed ndiv)."""
+    import ndivplanning_tpu.train.distill as distill_mod
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+
+    metrics_seq = iter([
+        {"eval_success_rate": 0.3, "eval_mean_pairwise_dist": 1.0},
+        {"eval_success_rate": 0.9, "eval_mean_pairwise_dist": 0.2},
+    ])
+    monkeypatch.setattr(distill_mod, "_suite_metrics",
+                        lambda *a, **k: next(metrics_seq))
+    state2, report = distill_mod.expert_iteration(
+        cfg, state, rounds=1, scenes_per_round=16, epochs=1,
+        n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=str(tmp_path / "distill"), suite_scenes=16,
+        min_diversity_frac=0.5)
+    row = report[0]
+    if row["record"]["kept"]:  # guard only adjudicates trained rounds
+        assert row["accepted"] is False
+        assert row["rejected_for_diversity"]["floor"] == 0.5
+
+
+def test_diversity_guard_off_keeps_old_behaviour(tmp_path, monkeypatch):
+    import ndivplanning_tpu.train.distill as distill_mod
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    metrics_seq = iter([
+        {"eval_success_rate": 0.3, "eval_mean_pairwise_dist": 1.0},
+        {"eval_success_rate": 0.9, "eval_mean_pairwise_dist": 0.2},
+    ])
+    monkeypatch.setattr(distill_mod, "_suite_metrics",
+                        lambda *a, **k: next(metrics_seq))
+    _, report = distill_mod.expert_iteration(
+        cfg, state, rounds=1, scenes_per_round=16, epochs=1,
+        n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=str(tmp_path / "distill2"), suite_scenes=16,
+        min_diversity_frac=0.0)
+    row = report[0]
+    if row["record"]["kept"]:
+        assert row["accepted"] is True
+        assert "rejected_for_diversity" not in row
