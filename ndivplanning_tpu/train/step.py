@@ -326,6 +326,29 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
                                          state.d_params)
     d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
 
+    if cfg.d_reset_every > 0:
+        # D warm-restart (config.py d_reset_every): on boundary steps,
+        # replace D's params AND Adam chain with a fresh draw — G keeps
+        # its momentum; D must re-learn to discriminate the CURRENT
+        # generator instead of exploiting its accumulated sharpness.
+        # Branchless (tree-wide where on the step predicate): the init
+        # is a handful of RNG normals per step, far below the grads
+        # just computed, and the program shape stays uniform.  The key
+        # comes off the step's rng thread (split only when the knob is
+        # on — default configs keep their exact RNG streams).
+        rng, k_dr = jax.random.split(rng)
+        new_step = state.step + 1
+        reset_now = jnp.logical_and(new_step % cfg.d_reset_every == 0,
+                                    new_step > 0)
+        fresh_d = disc.init(k_dr, batch.conditions, batch.real_traj)
+        fresh_opt = d_tx.init(fresh_d)
+        d_params = jax.tree.map(
+            lambda f, cur: jnp.where(reset_now, f, cur),
+            fresh_d, d_params)
+        d_opt_state = jax.tree.map(
+            lambda f, cur: jnp.where(reset_now, f, cur),
+            fresh_opt, d_opt_state)
+
     if lc_w > 0:
         # Tracker update: one EMA step per train step on the batch means
         # D just saw (at the pre-update params — the same view the loss

@@ -118,6 +118,16 @@ class Config:
     ada_step: float = 0.002  # p increment per train step
     ada_decay: float = 0.99  # r_t EMA decay
     ada_p_max: float = 0.8  # augmentation probability ceiling
+    # D warm-restart (Re-GAN-style): every N steps, re-initialise the
+    # discriminator's params AND its Adam chain from a fresh draw while
+    # G keeps training — the other principled remedy (besides ADA) for
+    # the measured late-soak dynamic where D's accumulated sharpness
+    # overpowers G.  The reset is IN-PROGRAM (branchless where on the
+    # step counter), so scanned chunks keep zero host I/O; note it also
+    # rewinds D's LR-schedule position (the Adam count is part of the
+    # chain) — that restart-to-peak-LR is the intended semantics.
+    # 0 disables (default; no RNG-stream change for existing configs).
+    d_reset_every: int = 0
     # Top-k generator update (Sinha et al. 2020): G's adversarial loss
     # backprops only through the topk_g_fraction of its B*k fakes that D
     # scores most real (the "easiest" fakes teach G nothing; the most

@@ -325,3 +325,58 @@ def test_ada_off_keeps_rt_logged_and_p_frozen():
     assert "d_rt" in metrics and "ada_p" not in metrics
     assert float(state.ada["p"]) == 0.0
     assert np.isfinite(float(state.ada["r"]))
+
+
+# ------------------------- round-4: D warm-restart --------------------
+
+
+def test_d_reset_fires_on_boundary_only():
+    """d_reset_every=N: D's params jump to a fresh draw exactly at step
+    multiples of N (Adam chain included), G's params evolve smoothly
+    throughout, and the knob off keeps D's trajectory unchanged."""
+    import jax
+
+    from ndivplanning_tpu.train.state import create_train_state as mk
+
+    cfg = _tiny("goalcond", d_reset_every=5)
+    state = mk(cfg)
+    # train_chunk donates its input state — snapshot what the test
+    # compares before each call (donated buffers are deleted).
+    snap = lambda tree: jax.tree.map(lambda x: np.asarray(x), tree)
+    d0 = snap(state.d_params)
+    # Steps 1..4: no reset — D params move by small Adam updates.
+    s4, _ = train_chunk(cfg, state, 4)
+    d4 = snap(s4.d_params)
+    # Step 5: reset fires inside this chunk.
+    s5, _ = train_chunk(cfg, s4, 1)
+
+    def l2(a, b):
+        return float(sum(
+            np.sum((np.asarray(x) - np.asarray(y)) ** 2)
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))) ** 0.5)
+
+    # The reset jump dwarfs 4 steps of Adam drift (lr ~1e-3-scale).
+    drift = l2(d4, d0)
+    jump = l2(s5.d_params, d4)
+    assert jump > 3 * drift, (drift, jump)
+    # Adam moments were re-initialised: the chain's count went to 0 at
+    # the reset (then stays in lockstep with later steps).
+    counts = [np.asarray(x) for x in jax.tree.leaves(s5.d_opt_state)
+              if np.asarray(x).dtype == np.int32]
+    assert any(int(c) == 0 for c in counts), counts
+    # G is untouched by the mechanism (it trained normally).
+    assert int(s5.step) == 5
+    state2, m = train_chunk(cfg, s5, 3)
+    assert np.all(np.isfinite(np.asarray(m["g_total"])))
+
+
+def test_d_reset_off_matches_default_stream():
+    """d_reset_every=0 (default) must be bitwise-identical to a config
+    that never had the field exercised — the split-only-when-enabled
+    RNG discipline."""
+    cfg = _tiny("goalcond")
+    s_a, m_a = train_chunk(cfg, create_train_state(cfg), 3)
+    cfg_b = _tiny("goalcond", d_reset_every=0)
+    s_b, m_b = train_chunk(cfg_b, create_train_state(cfg_b), 3)
+    np.testing.assert_array_equal(np.asarray(m_a["g_total"]),
+                                  np.asarray(m_b["g_total"]))
