@@ -392,9 +392,15 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         # through the additive noise to tau unchanged.
         tau_d = noise_g(tau)
         # DiffAugment in the G pass too — the crux of the method: G's
-        # gradients arrive THROUGH the augmented D view.
+        # gradients arrive THROUGH the augmented D view.  Under ADA the
+        # G pass carries the SAME application probability as D's passes:
+        # the round-4 soak with this pass left ungated collapsed
+        # diversity in 3/3 seeds while p sat at ~0 — G was being graded
+        # through augmented views D never trained on (BASELINE.md r4 ADA
+        # study, the bug-invalidated first soak).
         if cfg.diffaug:
-            cond_g, tau_d = _diffaug(cfg, k_ag, batch.conditions, tau_d)
+            cond_g, tau_d = _diffaug(cfg, k_ag, batch.conditions, tau_d,
+                                     apply_p=ada_p)
         else:
             cond_g = batch.conditions
         if fm_w > 0:

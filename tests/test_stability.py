@@ -380,3 +380,29 @@ def test_d_reset_off_matches_default_stream():
     s_b, m_b = train_chunk(cfg_b, create_train_state(cfg_b), 3)
     np.testing.assert_array_equal(np.asarray(m_a["g_total"]),
                                   np.asarray(m_b["g_total"]))
+
+
+def test_ada_gates_all_three_diffaug_passes(monkeypatch):
+    """Regression (round-4 soak bug): under ADA the real-for-D,
+    fake-for-D AND fake-for-G augmentation passes must all carry the
+    controller's probability — the first soak left the G pass ungated
+    and collapsed diversity in 3/3 seeds while p sat at ~0."""
+    import jax
+
+    import ndivplanning_tpu.train.step as step_mod
+    from ndivplanning_tpu.data.tasks import make_task
+
+    cfg = _tiny("goalcond", diffaug="shift", ada_target=0.6)
+    state = create_train_state(cfg)
+    batch = make_task(cfg).sample(jax.random.PRNGKey(0), cfg.batch_size)
+
+    seen = []
+    real_diffaug = step_mod._diffaug
+
+    def spy(cfg_, key, conditions, traj, apply_p=None):
+        seen.append(apply_p is not None)
+        return real_diffaug(cfg_, key, conditions, traj, apply_p=apply_p)
+
+    monkeypatch.setattr(step_mod, "_diffaug", spy)
+    step_mod.train_step_impl(cfg, state, batch)
+    assert len(seen) == 3 and all(seen), seen
