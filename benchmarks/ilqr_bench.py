@@ -38,6 +38,10 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHUNK = int(os.environ.get("ILQR_CHUNK", "16"))
+# Budget overrides for the r4o sweep (None = config defaults: 62 warm
+# starts = n_candidates//16, cfg.ilqr_iters = 12).
+ITERS = int(os.environ["ILQR_ITERS"]) if "ILQR_ITERS" in os.environ else None
+WARM = int(os.environ["ILQR_WARM"]) if "ILQR_WARM" in os.environ else None
 
 
 def _take(tree, lo, hi):
@@ -94,8 +98,11 @@ def run(workdir: str, n_scenes: int) -> dict:
     out["cem_trajopt"] = _chunked(
         lambda s, c, k: plan_cem_trajopt_batch(cfg, state, s, c, k)[0],
         suite, keys, n_scenes)
+    out["ilqr_budget"] = {"n_iters": ITERS, "n_warm": WARM}
     out["ilqr"] = _chunked(
-        lambda s, c, k: plan_ilqr_batch(cfg, state, s, c, k)[0],
+        lambda s, c, k: plan_ilqr_batch(cfg, state, s, c, k,
+                                        n_candidates=WARM,
+                                        n_iters=ITERS)[0],
         suite, keys, n_scenes)
 
     print(json.dumps(out), flush=True)
