@@ -370,10 +370,10 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
     # anchors: after n tracker updates the EMA's mass is 1 - decay^n.
     a_d = cfg.ada_decay
     ada_r = a_d * state.ada["r"] + (1.0 - a_d) * d_aux["rt"]
+    n1 = state.step.astype(jnp.float32) + 1.0
+    a_corr = 1.0 - jnp.power(jnp.asarray(a_d, jnp.float32), n1)
+    r_hat = ada_r / jnp.maximum(a_corr, jnp.finfo(jnp.float32).tiny)
     if ada_on:
-        n1 = state.step.astype(jnp.float32) + 1.0
-        a_corr = 1.0 - jnp.power(jnp.asarray(a_d, jnp.float32), n1)
-        r_hat = ada_r / jnp.maximum(a_corr, jnp.finfo(jnp.float32).tiny)
         # Karras et al. 2020 feedback rule: ramp p up while D is too
         # confident on real data (r above target), decay it otherwise.
         ada_p_new = jnp.clip(
@@ -479,7 +479,11 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         # The ADA overfitting heuristic, logged unconditionally: the
         # round-4 question "does r_t move at all in the infinite-
         # synthetic-data regime" is answered by every soak's JSONL.
+        # d_rt is the single-batch point sample (swings -1..1 late in
+        # the r4 control soak); d_rt_ema is the bias-corrected tracker
+        # the controller actually reads — the smooth curve to analyse.
         "d_rt": d_aux["rt"],
+        "d_rt_ema": r_hat,
     }
     if ada_on:
         metrics["ada_p"] = ada_p_new
