@@ -579,17 +579,33 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
     pending: list[Batch] = []
     s = start_step
     target = next_boundary(s)
+    # Device-memory cap on the pending stack (round-4 fix): boundaries
+    # come from log/eval/checkpoint cadences, and a recorded config from
+    # a long soak can carry log_every=5000 — at imagecond batch shapes
+    # that is ~30 GB of stacked device batches before the first chunk
+    # runs (measured RESOURCE_EXHAUSTED on the planning512 distill
+    # fine-tune).  Flush whenever the stack reaches ~512 MB; mid-
+    # interval flushes go through the same observer (its actions are
+    # cadence-gated, steps/sec accumulation stays correct).
+    chunk_cap: int | None = None
     try:
         for dev_batch in prefetch_to_device(batch_stream(),
                                             buffer_size=prefetch):
             pending.append(dev_batch)
             s += 1
-            if s < target:
+            if chunk_cap is None:
+                batch_bytes = sum(
+                    leaf.nbytes for leaf in jax.tree.leaves(dev_batch))
+                cap_mb = int(os.environ.get("NDIV_DATASET_CHUNK_MB",
+                                            "512"))
+                chunk_cap = max(1, (cap_mb << 20) // max(batch_bytes, 1))
+            if s < target and len(pending) < chunk_cap:
                 continue
             n = len(pending)
             state, metrics = run_pending(state, pending)
             pending = []
-            target = next_boundary(s)
+            if s >= target:
+                target = next_boundary(s)
             last = {k: float(v[-1]) for k, v in metrics.items()}
             step += n
             obs.at_boundary(state, step, n, last)

@@ -264,3 +264,39 @@ def test_imagecond_record_train_eval_e2e(tmp_path):
     rows = [json.loads(l) for l in
             open(tmp_path / "run" / "metrics.jsonl", encoding="utf-8")]
     assert any("eval_success_rate" in r for r in rows)
+
+
+def test_dataset_chunk_byte_cap_flushes_mid_interval(tmp_path, monkeypatch):
+    """Round-4 fix: a recorded config with a huge log_every must not
+    stack the whole interval of device batches (measured 30 GB /
+    RESOURCE_EXHAUSTED on the planning512 distill fine-tune) — the
+    pending stack flushes at the byte cap, and the run's RESULT is
+    identical to the uncapped run (same steps, same params: the chunk
+    split changes only dispatch granularity, the batch order is the
+    deterministic epoch stream either way)."""
+    import jax
+
+    from ndivplanning_tpu.data.host_pipeline import record_dataset
+    from ndivplanning_tpu.train.loop import train_from_dataset
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("pointmass2d", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8,
+                     log_every=1000, checkpoint_every=0, eval_every=0)
+    path = str(tmp_path / "rec.npz")
+    record_dataset(cfg, 48, path)
+    ds = ArrayDataset.from_npz(path)
+
+    monkeypatch.setenv("NDIV_DATASET_CHUNK_MB", "4096")
+    s_ref, _ = train_from_dataset(cfg, ds, num_epochs=2, workdir=None,
+                                  restore=False)
+    # Cap of 0 MB -> chunk_cap clamps to 1 batch per dispatch (the
+    # maximal-flush extreme).
+    monkeypatch.setenv("NDIV_DATASET_CHUNK_MB", "0")
+    s_cap, _ = train_from_dataset(cfg, ds, num_epochs=2, workdir=None,
+                                  restore=False)
+    assert int(s_ref.step) == int(s_cap.step) == 2 * (48 // 8)
+    for a, b in zip(jax.tree.leaves(s_ref.g_params),
+                    jax.tree.leaves(s_cap.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
