@@ -27,6 +27,7 @@ import json
 import socket
 import subprocess
 import sys
+import time
 from typing import IO, Any
 
 
@@ -37,6 +38,17 @@ class ServerError(RuntimeError):
     carry errors (`plan_batch(..., raise_on_error=False)` returns the
     raw per-position dicts instead).
     """
+
+
+class Overloaded(ServerError):
+    """The server shed the request at admission (`{"error":
+    "overloaded", "retry_ms": N}`) or at its queueing deadline
+    (`{"error": "deadline_exceeded"}`).  ``retry_ms`` carries the
+    server's drain estimate (0 when the reply had none)."""
+
+    def __init__(self, message: str, retry_ms: int = 0):
+        super().__init__(message)
+        self.retry_ms = int(retry_ms)
 
 
 class PlanningClient:
@@ -102,20 +114,40 @@ class PlanningClient:
     def _round_trip(self, payload: Any) -> Any:
         return self._send_line(json.dumps(payload))
 
+    @staticmethod
+    def _raise_for_error(resp: Any) -> None:
+        if isinstance(resp, dict) and "error" in resp:
+            err = resp["error"]
+            if err in ("overloaded", "deadline_exceeded"):
+                raise Overloaded(err, resp.get("retry_ms", 0))
+            raise ServerError(err)
+
     def plan(self, start, goal, obstacles=None, *, mpc: bool = False,
-             **extra) -> dict:
+             retries: int = 0, **extra) -> dict:
         """Plan one scene; returns the response dict (`best_traj`,
         `best_score`, ... or MPC episode fields when ``mpc=True``).
-        Raises :class:`ServerError` on an error reply."""
+        Raises :class:`ServerError` on an error reply — shed replies
+        raise the :class:`Overloaded` subclass carrying the server's
+        ``retry_ms`` drain estimate.  ``retries > 0`` makes the client
+        honor that hint itself: sleep ``retry_ms`` (or 50 ms for a
+        deadline shed, which carries none) and resend, up to ``retries``
+        times, before letting :class:`Overloaded` escape."""
         req = {"start": list(start), "goal": list(goal), **extra}
         if obstacles is not None:
             req["obstacles"] = [list(o) for o in obstacles]
         if mpc:
             req["mpc"] = True
-        resp = self._round_trip(req)
-        if isinstance(resp, dict) and "error" in resp:
-            raise ServerError(resp["error"])
-        return resp
+        attempts = max(int(retries), 0) + 1
+        for i in range(attempts):
+            resp = self._round_trip(req)
+            try:
+                self._raise_for_error(resp)
+                return resp
+            except Overloaded as e:
+                if i + 1 >= attempts:
+                    raise
+                time.sleep(max(e.retry_ms, 50) / 1000.0)
+        raise AssertionError("unreachable")
 
     def plan_batch(self, requests: list[dict], *,
                    raise_on_error: bool = True) -> list[dict]:

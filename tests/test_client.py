@@ -106,3 +106,43 @@ def test_client_spawn_lifecycle(tmp_path):
     c.close()
     c.close()  # idempotent
     assert proc.poll() is not None  # child reaped, not leaked
+
+
+def test_client_overload_retry_honors_hint():
+    """Overloaded/deadline replies raise the Overloaded subclass with the
+    server's retry_ms hint; plan(retries=N) sleeps the hint and resends
+    (a fake pipe server scripts shed-then-ok)."""
+    import io
+
+    from ndivplanning_tpu.planning.client import Overloaded
+
+    scripted = [
+        {"error": "overloaded", "retry_ms": 1},
+        {"error": "deadline_exceeded"},
+        {"best_traj": [[0.1, 0.1]], "best_score": 0.5},
+    ]
+
+    class _FakeReader:
+        def __init__(self, responses):
+            self._resp = list(responses)
+
+        def readline(self):
+            import json as _json
+            return _json.dumps(self._resp.pop(0)) + "\n"
+
+        def close(self):
+            pass
+
+    writer = io.StringIO()
+    c = PlanningClient(_FakeReader(scripted), writer)
+    resp = c.plan(start=[0.1, 0.1], goal=[0.9, 0.9], retries=2)
+    assert resp["best_score"] == 0.5
+    # Three request lines went out (initial + two retries).
+    assert writer.getvalue().count("\n") == 3
+
+    c2 = PlanningClient(
+        _FakeReader([{"error": "overloaded", "retry_ms": 7}]),
+        io.StringIO())
+    with pytest.raises(Overloaded) as exc:
+        c2.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
+    assert exc.value.retry_ms == 7
