@@ -335,6 +335,22 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
         n_epochs = epochs if epochs is not None else max(
             -(-5000 // steps_per_epoch), 1)
         row["epochs"] = n_epochs
+        # Fine-grained eval cadence for the fine-tune: the recorded
+        # config of a long soak carries eval_every in the thousands, so
+        # best-of-both could only ever see the END state — but a GAN
+        # fine-tune on a small expert set peaks EARLY and then
+        # memorises/collapses (measured: planning512 round-0 ended at
+        # success 0.655 / diversity 0.04 from 0.833 / 0.56).  ~20 eval
+        # points let the tracker catch the sweet spot before collapse.
+        n_steps = n_epochs * steps_per_epoch
+        cadence = max(n_steps // 20, 1)
+        # The fine-tune's OWN best tracker also enforces the diversity
+        # floor (config.py best_min_diversity): without it the tracker
+        # would always prefer the late collapsed high-success state and
+        # the round guard below could only reject the whole round —
+        # with it, the round's candidate is the best HEALTHY point.
+        cfg_ft = cfg_ft.replace(eval_every=cadence, log_every=cadence,
+                                best_min_diversity=div_floor)
         ft = reset_for_finetune(cfg_ft, state)
         ft, _ = train_from_dataset(cfg_ft, ds, num_epochs=n_epochs,
                                    state=ft, workdir=round_dir,

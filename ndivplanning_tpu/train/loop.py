@@ -166,14 +166,16 @@ def _best_candidates(cfg: Config, state: TrainState, ev: dict,
     if not track:
         return []
     candidates = [("ema" if cfg.g_ema_decay > 0 else "raw",
-                   ev.get(track), state)]
+                   ev.get(track), state,
+                   ev.get("eval_mean_pairwise_dist"))]
     if cfg.g_ema_decay > 0 and raw_eval_fn is not None:
         ev_raw = raw_eval_fn()
         raw_val = float(ev_raw[track]) if track in ev_raw else None
         if raw_val is not None:
             ev["raw_" + track] = raw_val
         candidates.append(
-            ("raw", raw_val, state.replace(g_ema_params=state.g_params)))
+            ("raw", raw_val, state.replace(g_ema_params=state.g_params),
+             ev_raw.get("eval_mean_pairwise_dist")))
     return candidates
 
 
@@ -184,8 +186,16 @@ def _track_best(cfg: Config, workdir, step: int, candidates,
     orbax skips a second save at an existing step, so the winning path
     is picked before saving."""
     winner = None
-    for eval_path, metric, cand_state in candidates:
+    for eval_path, metric, cand_state, div in candidates:
         if metric is None:
+            continue
+        # Diversity disqualifier (config.py best_min_diversity): a
+        # candidate that beat the metric by collapsing multimodality
+        # must not become the artifact consumers serve — the expert-
+        # iteration fine-tune measured exactly that failure (success up,
+        # mean pairwise distance 0.56 -> 0.04).  Off (0.0) by default.
+        if (cfg.best_min_diversity > 0 and div is not None
+                and div < cfg.best_min_diversity):
             continue
         if _improved(cfg.track_best_metric, metric,
                      winner[1] if winner else None):

@@ -128,6 +128,14 @@ class Config:
     # chain) — that restart-to-peak-LR is the intended semantics.
     # 0 disables (default; no RNG-stream change for existing configs).
     d_reset_every: int = 0
+    # Diversity disqualifier for best-checkpoint tracking: an eval
+    # candidate whose eval_mean_pairwise_dist sits below this floor
+    # cannot become <workdir>/best even if the tracked metric improved
+    # (a success win bought by collapsing multimodality is not a win —
+    # the expert-iteration fine-tune measured success up / diversity
+    # 0.56 -> 0.04).  0 disables; train/distill.py sets it from the
+    # pre-iteration diversity automatically.
+    best_min_diversity: float = 0.0
     # Top-k generator update (Sinha et al. 2020): G's adversarial loss
     # backprops only through the topk_g_fraction of its B*k fakes that D
     # scores most real (the "easiest" fakes teach G nothing; the most

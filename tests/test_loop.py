@@ -238,3 +238,43 @@ def test_dataset_marker_rejects_same_shape_different_content(tmp_path):
     _check_dataset_marker(str(tmp_path), a, cfg)  # same content: OK
     with pytest.raises(ValueError, match="different dataset"):
         _check_dataset_marker(str(tmp_path), b, cfg)
+
+
+def test_best_tracker_diversity_disqualifier(tmp_path):
+    """best_min_diversity (round 4): a collapsed candidate cannot become
+    <workdir>/best even with a better tracked metric; healthy candidates
+    still win; knob off keeps old behaviour."""
+    from ndivplanning_tpu.train.loop import _track_best
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("pointmass2d", batch_size=8, k=4, g_hidden=(16,),
+                     d_hidden=(16,), cond_embed_dim=8,
+                     best_min_diversity=0.5, workdir="")
+    state = create_train_state(cfg)
+    wd = str(tmp_path / "run")
+
+    # Collapsed high-success candidate: skipped entirely (no save).
+    best = _track_best(cfg, wd, 10,
+                       [("ema", 0.9, state, 0.04)], None)
+    assert best is None
+    assert not os.path.exists(os.path.join(wd, "best"))
+
+    # Healthy lower-success candidate: becomes best.
+    best = _track_best(cfg, wd, 20,
+                       [("ema", 0.6, state, 0.7)], best)
+    assert best == 0.6
+    assert os.path.exists(os.path.join(wd, "best", "best_path.json"))
+
+    # Mixed candidates at one eval point: the healthy one wins even
+    # though the collapsed one has the higher metric.
+    best = _track_best(cfg, wd, 30,
+                       [("ema", 0.95, state, 0.1),
+                        ("raw", 0.7, state, 0.8)], best)
+    assert best == 0.7
+
+    # Knob off: the collapsed candidate wins again.
+    cfg_off = cfg.replace(best_min_diversity=0.0)
+    best_off = _track_best(cfg_off, str(tmp_path / "off"), 10,
+                           [("ema", 0.9, state, 0.04)], None)
+    assert best_off == 0.9
