@@ -241,7 +241,16 @@ def reset_for_finetune(cfg: Config, state: TrainState) -> TrainState:
     """A checkpointed state re-based for a dataset fine-tune: step back
     to 0 (``train_from_dataset`` reads step as a position in the NEW
     dataset's batch order), fresh Adam chains and LeCam trackers, params
-    (raw + EMA) and PRNG carried over."""
+    (raw + EMA) and PRNG carried over AS COPIES.
+
+    The copies are load-bearing, not defensive style: the fine-tune's
+    chunk step DONATES its state, so an aliased leaf would delete the
+    CALLER's buffers too — when a round is rejected, the next round
+    records from the original state, and with aliasing that state's
+    params are gone (the round-2 donation gotcha again; through the
+    axon tunnel it surfaced as an async INVALID_ARGUMENT at the next
+    device_get, which masqueraded as a worker flake for two attempts).
+    """
     from ndivplanning_tpu.train.state import (
         build_optimizers,
         fresh_ada,
@@ -249,10 +258,16 @@ def reset_for_finetune(cfg: Config, state: TrainState) -> TrainState:
     )
 
     g_tx, d_tx = build_optimizers(cfg)
+    g_params = jax.tree.map(jnp.copy, state.g_params)
+    d_params = jax.tree.map(jnp.copy, state.d_params)
     return state.replace(
         step=jnp.asarray(0, jnp.int32),
-        g_opt_state=g_tx.init(state.g_params),
-        d_opt_state=d_tx.init(state.d_params),
+        rng=jnp.copy(state.rng),
+        g_params=g_params,
+        d_params=d_params,
+        g_ema_params=jax.tree.map(jnp.copy, state.g_ema_params),
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
         lecam_ema=fresh_lecam_ema(),
         ada=fresh_ada(),
     )

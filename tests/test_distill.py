@@ -214,3 +214,34 @@ def test_diversity_guard_off_keeps_old_behaviour(tmp_path, monkeypatch):
     if row["record"]["kept"]:
         assert row["accepted"] is True
         assert "rejected_for_diversity" not in row
+
+
+def test_rejected_round_state_survives_donation(tmp_path, monkeypatch):
+    """Regression (round 4): the fine-tune's chunk step DONATES its
+    state; reset_for_finetune must deep-copy the carried leaves or a
+    REJECTED round leaves the original state's buffers deleted and the
+    next round's recording crashes (masqueraded as a TPU worker flake
+    for two chip attempts).  Force two rejected rounds and assert both
+    record phases ran on live buffers."""
+    import ndivplanning_tpu.train.distill as distill_mod
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    # Scripted metrics: before, then two rejected afters (success down).
+    metrics_seq = iter([
+        {"eval_success_rate": 0.9, "eval_mean_pairwise_dist": 1.0},
+        {"eval_success_rate": 0.1, "eval_mean_pairwise_dist": 1.0},
+        {"eval_success_rate": 0.1, "eval_mean_pairwise_dist": 1.0},
+    ])
+    monkeypatch.setattr(distill_mod, "_suite_metrics",
+                        lambda *a, **k: next(metrics_seq))
+    _, report = distill_mod.expert_iteration(
+        cfg, state, rounds=2, scenes_per_round=16, epochs=1,
+        n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=str(tmp_path / "distill"), suite_scenes=16)
+    assert len(report) == 2
+    assert report[0]["accepted"] is False
+    # Round 1 recorded successfully (no deleted-array crash).
+    assert "record" in report[1]
+    assert (report[1]["record"]["kept"]
+            + report[1]["record"]["dropped"]) == 16
