@@ -318,6 +318,9 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
     track = cfg.track_best_metric or "eval_success_rate"
     workdir = workdir or os.path.join(cfg.workdir or "/tmp/ndivplanning_tpu",
                                       "distill")
+    import json
+    import shutil
+
     report = []
     before = _suite_metrics(cfg, state, suite_scenes)
     best_val = before.get(track)
@@ -328,15 +331,51 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
     for r in range(rounds):
         round_dir = os.path.join(workdir, f"round_{r}")
         npz = os.path.join(round_dir, "expert.npz")
-        stats = record_planner_dataset(
-            cfg, state, scenes_per_round, npz, planner=planner, seed=seed + r,
-            per_scene=per_scene, total_steps=total_steps,
-            replan_every=replan_every, n_candidates=n_candidates,
-            scene_chunk=scene_chunk)
+        # Crash-resume at ROUND granularity: a finished round leaves
+        # report_row.json, and an accepted round's state is exactly its
+        # <round_dir>/best checkpoint — a re-run (the chip queues retry
+        # whole legs after worker flaps) skips straight past it instead
+        # of re-paying ~20 min of recording + fine-tune.
+        row_path = os.path.join(round_dir, "report_row.json")
+        if os.path.exists(row_path):
+            with open(row_path, encoding="utf-8") as f:
+                row = json.load(f)
+            report.append(row)
+            if row.get("accepted"):
+                from ndivplanning_tpu.utils import checkpoint as _ckpt
+
+                best = _ckpt.restore_latest(
+                    os.path.join(round_dir, "best"), state)
+                if best is not None:
+                    state = best
+                    before = row["after"]
+                    best_val = row["after"].get(track)
+            continue
+        rec_path = os.path.join(round_dir, "record.json")
+        if os.path.exists(rec_path) and os.path.exists(npz):
+            # Recording is deterministic in (state, seed) — reuse a
+            # finished recording from a crashed attempt of this round.
+            with open(rec_path, encoding="utf-8") as f:
+                stats = json.load(f)
+        else:
+            stats = record_planner_dataset(
+                cfg, state, scenes_per_round, npz, planner=planner,
+                seed=seed + r, per_scene=per_scene,
+                total_steps=total_steps, replan_every=replan_every,
+                n_candidates=n_candidates, scene_chunk=scene_chunk)
+            with open(rec_path, "w", encoding="utf-8") as f:
+                json.dump(stats, f)
+        # A crashed attempt can leave a stale <round_dir>/best whose
+        # marker metric the fresh fine-tune's tracker could never beat
+        # — wipe it; this round's fine-tune owns the directory.
+        shutil.rmtree(os.path.join(round_dir, "best"),
+                      ignore_errors=True)
         row = {"round": r, "record": stats, "before": before}
         if stats["kept"] == 0:
             row.update({"accepted": False,
                         "error": "planner recorded zero successes"})
+            with open(row_path, "w", encoding="utf-8") as f:
+                json.dump(row, f)
             report.append(row)
             continue
         ds = ArrayDataset.from_npz(npz)
@@ -391,5 +430,7 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
             state = cand
             best_val = after.get(track)
             before = after
+        with open(row_path, "w", encoding="utf-8") as f:
+            json.dump(row, f)
         report.append(row)
     return state, report

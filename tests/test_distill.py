@@ -245,3 +245,40 @@ def test_rejected_round_state_survives_donation(tmp_path, monkeypatch):
     assert "record" in report[1]
     assert (report[1]["record"]["kept"]
             + report[1]["record"]["dropped"]) == 16
+
+
+def test_expert_iteration_resumes_finished_rounds(tmp_path, monkeypatch):
+    """Round-granular crash resume: a re-run over the same workdir skips
+    finished rounds (report_row.json), restores an accepted round's
+    state from its best checkpoint, and reuses a finished recording."""
+    import ndivplanning_tpu.train.distill as distill_mod
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    wd = str(tmp_path / "distill")
+
+    calls = {"record": 0}
+    real_record = distill_mod.record_planner_dataset
+
+    def counting_record(*a, **k):
+        calls["record"] += 1
+        return real_record(*a, **k)
+
+    monkeypatch.setattr(distill_mod, "record_planner_dataset",
+                        counting_record)
+    _, report1 = distill_mod.expert_iteration(
+        cfg, state, rounds=1, scenes_per_round=16, epochs=1,
+        n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=wd, suite_scenes=16)
+    n_rec = calls["record"]
+    assert os.path.exists(os.path.join(wd, "round_0", "report_row.json"))
+
+    # Re-run (simulating a queue retry): round 0 is skipped entirely —
+    # no new recording — and the report row round-trips.
+    _, report2 = distill_mod.expert_iteration(
+        cfg, create_train_state(cfg), rounds=1, scenes_per_round=16,
+        epochs=1, n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=wd, suite_scenes=16)
+    assert calls["record"] == n_rec
+    assert report2[0]["record"] == report1[0]["record"]
+    assert report2[0]["accepted"] == report1[0]["accepted"]
