@@ -1,8 +1,11 @@
 #!/bin/bash
-# Round-4 leg P: re-run the planning512 expert-iteration leg on the
-# FIXED fine-tune recipe (fine-grained eval cadence + diversity-floored
-# best tracking, commit eb0ebbc) — the r4m attempts ran pre-fix code
-# whose round candidate was always the collapsed end state.
+# Round-4 leg P (v2): planning512 expert-iteration re-runs on the fixed
+# fine-tune recipe (eval cadence + diversity-floored best tracking +
+# donation-alias fix + round-granular resume).  Two teachers:
+#   - mpc: the closed-loop 1.000 teacher, open-loop keep ~0.27;
+#   - trajopt: the measured best OPEN-LOOP mode on kinematic families
+#     (reach 1.000, BASELINE.md r3j) — its optima replay open-loop by
+#     construction, so the expert set is ~4x larger per recorded scene.
 cd "$(dirname "$0")/.."
 set -u
 if [[ -n "${WAIT_PID:-}" ]]; then
@@ -24,13 +27,20 @@ leg() {
   return 1
 }
 
-rm -rf /tmp/r4/distill_p512_v2
-leg distill_p512_v2 9000 python -m ndivplanning_tpu.cli distill \
+leg distill_p512_mpc 9000 python -m ndivplanning_tpu.cli distill \
   --workdir checkpoints/planning512 \
-  --distill-workdir /tmp/r4/distill_p512_v2 \
+  --distill-workdir /tmp/r4/distill_p512_mpc \
   --rounds 2 --scenes-per-round 2048 --per-scene 4 --suite-size 512 \
   --mpc-candidates 256 --mpc-replan 8
-grep '^{"rounds"' /tmp/r4/distill_p512_v2.log | tail -1 \
-  > benchmarks/distill_p512_v2.json || true
+grep '^{"rounds"' /tmp/r4/distill_p512_mpc.log | tail -1 \
+  > benchmarks/distill_p512_mpc.json || true
+
+leg distill_p512_trajopt 9000 python -m ndivplanning_tpu.cli distill \
+  --workdir checkpoints/planning512 \
+  --distill-workdir /tmp/r4/distill_p512_trajopt \
+  --rounds 2 --scenes-per-round 2048 --per-scene 4 --suite-size 512 \
+  --planner trajopt
+grep '^{"rounds"' /tmp/r4/distill_p512_trajopt.log | tail -1 \
+  > benchmarks/distill_p512_trajopt.json || true
 
 echo "=== r4p queue done ===" >&2
