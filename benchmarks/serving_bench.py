@@ -336,7 +336,11 @@ def bench_overload(cfg, state, offered_qps: float, n_requests: int,
                 dt = time.perf_counter() - t0
                 with lock:
                     if not line:
-                        outcomes["unanswered"] += 1
+                        # Count the whole remainder of this sender's
+                        # schedule, not just this request — otherwise a
+                        # dropped connection silently shrinks the
+                        # offered load and skews shed_rate's denominator.
+                        outcomes["unanswered"] += per_thread - i
                         return
                     resp = json.loads(line)
                     err = resp.get("error")
@@ -395,12 +399,14 @@ def bench_reload_under_fire(cfg, state, n_clients: int,
 
     from ndivplanning_tpu.planning.server import serve_tcp
 
-    # reload_fn returns a FRESH state object (the real loader path
-    # returns a newly restored pytree; what matters for the swap
-    # semantics and the recompile claim is new buffers, same shapes).
+    # reload_fn returns a FRESH state object with NEW device buffers
+    # (jnp.copy per leaf), matching the real loader path where a
+    # restored pytree never aliases the served one — returning `state`
+    # itself would make the swap a no-op reference assignment and the
+    # zero-recompile claim trivially (and meaninglessly) true.
     reloads_served = []
     server = serve_tcp(cfg, state, port=0, cross_batch=True,
-                       reload_fn=lambda: state)
+                       reload_fn=lambda: jax.tree.map(jax.numpy.copy, state))
     host, port = server.server_address[:2]
     srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
     srv_thread.start()

@@ -600,4 +600,12 @@ def ndiv_loss_fused(z: jnp.ndarray, x: jnp.ndarray, alpha: float = 0.8,
         raise ValueError(
             f"z and x must agree on leading/k dims, got {z.shape} vs {x.shape}"
         )
-    return _ndiv_loss_fused(z, x, alpha, VARIANT if variant is None else variant)
+    v = VARIANT if variant is None else variant
+    if v not in ("block", "group", "packed"):
+        # The dispatch chains fall through their else branch to the
+        # packed layout, so a typo'd NDIV_VARIANT would silently
+        # benchmark the wrong kernel.
+        raise ValueError(
+            f"unknown NDiv kernel variant {v!r}; "
+            "choose from 'block', 'group', 'packed'")
+    return _ndiv_loss_fused(z, x, alpha, v)

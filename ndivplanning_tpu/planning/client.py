@@ -160,7 +160,15 @@ class PlanningClient:
         if raise_on_error:
             for i, r in enumerate(resp):
                 if isinstance(r, dict) and "error" in r:
-                    raise ServerError(f"request {i}: {r['error']}")
+                    # Shed positions keep their Overloaded type (and
+                    # retry_ms hint) so batch callers can back off the
+                    # same way plan(retries=...) does.
+                    try:
+                        self._raise_for_error(r)
+                    except ServerError as e:
+                        e.args = (f"request {i}: {e.args[0]}",
+                                  *e.args[1:])
+                        raise
         return resp
 
     def mpc(self, start, goal, obstacles=None, **extra) -> dict:

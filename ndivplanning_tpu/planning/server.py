@@ -725,7 +725,14 @@ class _CrossBatcher:
             self._fail(pendings, "server shutting down", counted=False)
             return pendings
         with self._pending_lock:
+            # An oversized burst at an IDLE dispatcher is admitted even
+            # past max_pending: the dispatcher bucket-splits internally,
+            # and refusing it would make a plan_batch larger than the
+            # budget unservable forever (its retry hint could never come
+            # true).  The cap guards queue GROWTH, so it only applies
+            # once something is already pending.
             over = (self._max_pending is not None
+                    and self._pending_n > 0
                     and self._pending_n + len(pendings) > self._max_pending)
             if not over:
                 self._pending_n += len(pendings)

@@ -92,6 +92,12 @@ def _subsample_to_horizon(positions: np.ndarray, horizon: int) -> np.ndarray:
     t = positions.shape[1]
     if t == horizon:
         return positions
+    if t < horizon:
+        # idx[0] would be -1 (numpy wrap: the FINAL position lands in
+        # the first waypoint slot) — corrupt expert data, so refuse.
+        raise ValueError(
+            f"recorded episodes have {t} steps but the waypoint grid "
+            f"needs >= horizon={horizon}; raise total_steps")
     idx = ((np.arange(horizon) + 1) * t) // horizon - 1
     return positions[:, idx, :]
 
@@ -346,10 +352,17 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
 
                 best = _ckpt.restore_latest(
                     os.path.join(round_dir, "best"), state)
-                if best is not None:
-                    state = best
-                    before = row["after"]
-                    best_val = row["after"].get(track)
+                if best is None:
+                    # Silently continuing would record round r+1 from
+                    # the PRE-round state while the report claims this
+                    # round's lift — an internally inconsistent resume.
+                    raise RuntimeError(
+                        f"resume: round {r} is marked accepted but its "
+                        f"best checkpoint under {round_dir} failed to "
+                        "restore; delete report_row.json to re-run it")
+                state = best
+                before = row["after"]
+                best_val = row["after"].get(track)
             continue
         rec_path = os.path.join(round_dir, "record.json")
         if os.path.exists(rec_path) and os.path.exists(npz):

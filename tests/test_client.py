@@ -146,3 +146,38 @@ def test_client_overload_retry_honors_hint():
     with pytest.raises(Overloaded) as exc:
         c2.plan(start=[0.1, 0.1], goal=[0.9, 0.9])
     assert exc.value.retry_ms == 7
+
+
+def test_plan_batch_shed_raises_overloaded_with_position():
+    """A shed position in a batch reply keeps its Overloaded type and
+    retry_ms hint (round-4 review fix: plan_batch previously flattened
+    every error to plain ServerError, making backoff impossible)."""
+    import io
+    import json as _json
+
+    from ndivplanning_tpu.planning.client import Overloaded
+
+    class _FakeReader:
+        def __init__(self, responses):
+            self._resp = list(responses)
+
+        def readline(self):
+            return _json.dumps(self._resp.pop(0)) + "\n"
+
+        def close(self):
+            pass
+
+    batch_reply = [{"best_traj": [[0.1, 0.1]], "best_score": 0.5},
+                   {"error": "overloaded", "retry_ms": 9}]
+    c = PlanningClient(_FakeReader([batch_reply]), io.StringIO())
+    with pytest.raises(Overloaded) as exc:
+        c.plan_batch([{"start": [0.1, 0.1], "goal": [0.9, 0.9]},
+                      {"start": [0.2, 0.2], "goal": [0.8, 0.8]}])
+    assert exc.value.retry_ms == 9
+    assert "request 1" in str(exc.value)
+
+    # Non-shed errors still raise plain ServerError, position-tagged.
+    bad_reply = [{"error": "bad request: no start"}]
+    c2 = PlanningClient(_FakeReader([bad_reply]), io.StringIO())
+    with pytest.raises(ServerError, match="request 0"):
+        c2.plan_batch([{"goal": [0.9, 0.9]}])

@@ -282,3 +282,35 @@ def test_expert_iteration_resumes_finished_rounds(tmp_path, monkeypatch):
     assert calls["record"] == n_rec
     assert report2[0]["record"] == report1[0]["record"]
     assert report2[0]["accepted"] == report1[0]["accepted"]
+
+
+def test_subsample_rejects_short_episodes():
+    """total_steps < horizon would put index -1 (the FINAL executed
+    position) in the first waypoint slot — corrupt expert data; the
+    grid refuses instead (round-4 review fix)."""
+    pos = np.arange(2 * 8 * 2, dtype=np.float32).reshape(2, 8, 2)
+    with pytest.raises(ValueError, match="total_steps"):
+        _subsample_to_horizon(pos, 16)
+
+
+def test_resume_accepted_round_missing_best_raises(tmp_path):
+    """An accepted report_row.json whose best checkpoint cannot be
+    restored must fail loudly: silently continuing would run round r+1
+    from the PRE-round state while the report claims the lift."""
+    import json as _json
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    wd = str(tmp_path / "distill")
+    rd = os.path.join(wd, "round_0")
+    os.makedirs(rd)
+    row = {"round": 0, "accepted": True,
+           "after": {"eval_success_rate": 0.9,
+                     "eval_mean_pairwise_dist": 0.5}}
+    with open(os.path.join(rd, "report_row.json"), "w",
+              encoding="utf-8") as f:
+        _json.dump(row, f)
+    with pytest.raises(RuntimeError, match="failed to restore"):
+        expert_iteration(cfg, state, rounds=1, scenes_per_round=16,
+                         epochs=1, n_candidates=16, replan_every=4,
+                         scene_chunk=16, workdir=wd, suite_scenes=16)

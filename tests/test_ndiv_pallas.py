@@ -188,3 +188,12 @@ def test_group_variant_padding_and_multitile_parity():
         np.testing.assert_allclose(np.asarray(g[1]), np.asarray(ref_g[1]),
                                    rtol=1e-4, atol=1e-6,
                                    err_msg=f"b={b} k={k}")
+
+
+def test_unknown_variant_rejected():
+    """A typo'd NDIV_VARIANT / variant= must raise, not silently fall
+    through to the packed layout (round-4 review fix)."""
+    z = jnp.ones((4, 4, 2))
+    x = jnp.ones((4, 4, 2))
+    with pytest.raises(ValueError, match="unknown NDiv kernel variant"):
+        ndiv_loss_fused(z, x, variant="blcok")

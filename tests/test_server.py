@@ -952,3 +952,60 @@ def test_stats_exposes_load_control_counters():
 
     s = serving_stats()
     assert "shed_requests" in s and "expired_requests" in s
+
+
+def test_cross_batcher_admits_oversized_burst_when_idle():
+    """A single burst larger than max_pending is admitted when nothing
+    is pending (the dispatcher bucket-splits it); refusing it would make
+    the burst unservable forever (round-4 review fix).  The cap still
+    applies once work is pending."""
+    import threading as _threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from ndivplanning_tpu.planning import server as srv
+    from ndivplanning_tpu.planning.server import _CrossBatcher
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+
+    b = _CrossBatcher(cfg, state, max_pending=2)
+    burst = b.submit([{"start": [0.1 * (i + 1), 0.1], "goal": [0.9, 0.9]}
+                      for i in range(5)], _time.perf_counter())
+    for p in burst:
+        assert p.event.wait(timeout=120)
+        assert "best_score" in p.result, p.result
+    b.close()
+
+    # With one request in flight, a 5-burst exceeds the budget -> shed.
+    gate = _threading.Event()
+    n_calls = []
+    real = srv.handle_batch
+
+    def gated(*args, **kw):
+        n_calls.append(1)
+        gate.wait(timeout=60)
+        return real(*args, **kw)
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(srv, "handle_batch", gated)
+    try:
+        b2 = _CrossBatcher(cfg, state, max_pending=2)
+        first = b2.submit([{"start": [0.1, 0.1], "goal": [0.9, 0.9]}],
+                          _time.perf_counter())[0]
+        while not n_calls:
+            pass
+        shed = b2.submit([{"start": [0.1 * (i + 1), 0.2],
+                           "goal": [0.9, 0.9]} for i in range(5)],
+                         _time.perf_counter())
+        for p in shed:
+            assert p.event.wait(timeout=5)
+            assert p.result["error"] == "overloaded", p.result
+        gate.set()
+        assert first.event.wait(timeout=120)
+        assert "best_score" in first.result
+        b2.close()
+    finally:
+        gate.set()
+        mp.undo()
