@@ -225,8 +225,11 @@ class Config:
     # iLQR refinement (planning/ilqr.py): Riccati-sweep iterations for
     # ``plan --refine ilqr`` — the second-order mode for the
     # underactuated regime where first-order trajopt is a measured
-    # negative (BASELINE.md r3j quadrotor).
-    ilqr_iters: int = 12
+    # negative (BASELINE.md r3j quadrotor).  36 (not 12) per the round-4
+    # budget sweep: 62x36 scores 0.5372 vs 12-iter's 0.5567 at ~equal
+    # wall, beating every other open-loop mode on the quadrotor
+    # (BASELINE.md round 4, ilqr_results_i36.json).
+    ilqr_iters: int = 36
     eval_every: int = 500
     # Periodic eval runs on a frozen suite of this many scenes (step-to-
     # step comparable); the best checkpoint by ``track_best_metric`` is
