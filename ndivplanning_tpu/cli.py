@@ -438,11 +438,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "distill":
-        from ndivplanning_tpu.train.distill import expert_iteration
+        from ndivplanning_tpu.train.distill import RECORD_SEED, expert_iteration
 
         state = _load_state(cfg)
+        # --seed varies the expert-recording scene draw for seed-
+        # robustness studies; the offset keeps every derived seed far
+        # from EVAL_SUITE_SEED (recording on the frozen suite would
+        # train on the test set), and --seed also flows into cfg.seed
+        # via _build_config so the fine-tune PRNG varies with it.
+        record_seed = (RECORD_SEED if args.seed is None
+                       else RECORD_SEED + 7919 * args.seed)
         state, report = expert_iteration(
-            cfg, state, rounds=args.rounds,
+            cfg, state, seed=record_seed, rounds=args.rounds,
             scenes_per_round=args.scenes_per_round,
             per_scene=args.per_scene, epochs=args.epochs,
             planner=args.planner, replan_every=args.mpc_replan,

@@ -246,3 +246,32 @@ def test_viz_mpc_and_curves(tmp_path, capsys):
     rc = main(["curves", "--workdir", str(tmp_path / "nope"),
                "--out", curves])
     assert rc == 2
+
+
+def test_distill_seed_varies_record_seed(tmp_path):
+    """`distill --seed N` must vary the expert-recording scene draw
+    (recorded in record.json) while staying disjoint from the frozen
+    eval suite's seed; without --seed the canonical RECORD_SEED is
+    used (cli.py distill dispatch)."""
+    from ndivplanning_tpu.train.distill import RECORD_SEED
+
+    rc = main([
+        "train", "--preset", "pointmass2d", "--steps", "6",
+        "--batch-size", "8", "--k", "4", "--workdir", str(tmp_path),
+    ])
+    assert rc == 0
+    seen = {}
+    for seed_args, tag in (([], "default"), (["--seed", "3"], "s3")):
+        dw = tmp_path / f"distill_{tag}"
+        rc = main([
+            "distill", "--workdir", str(tmp_path),
+            "--distill-workdir", str(dw),
+            "--rounds", "1", "--scenes-per-round", "8", "--epochs", "1",
+            "--suite-size", "8", "--planner", "trajopt",
+            *seed_args,
+        ])
+        assert rc == 0
+        rec = json.loads((dw / "round_0" / "record.json").read_text())
+        seen[tag] = rec["seed"]
+    assert seen["default"] == RECORD_SEED
+    assert seen["s3"] == RECORD_SEED + 7919 * 3
