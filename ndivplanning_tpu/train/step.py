@@ -338,8 +338,12 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         # on — default configs keep their exact RNG streams).
         rng, k_dr = jax.random.split(rng)
         new_step = state.step + 1
-        reset_now = jnp.logical_and(new_step % cfg.d_reset_every == 0,
-                                    new_step > 0)
+        # d_reset_start gates restarts to the late regime (config.py):
+        # max(start, 1) keeps the default start=0 bitwise-identical to
+        # the pre-knob predicate (new_step > 0).
+        reset_now = jnp.logical_and(
+            new_step % cfg.d_reset_every == 0,
+            new_step >= max(cfg.d_reset_start, 1))
         fresh_d = disc.init(k_dr, batch.conditions, batch.real_traj)
         fresh_opt = d_tx.init(fresh_d)
         d_params = jax.tree.map(

@@ -128,6 +128,16 @@ class Config:
     # chain) — that restart-to-peak-LR is the intended semantics.
     # 0 disables (default; no RNG-stream change for existing configs).
     d_reset_every: int = 0
+    # Late-start gate for d_reset_every: restarts fire only at steps >=
+    # this threshold.  Motivation is the round-4 measurement pair —
+    # always-on restarts are the ONE avenue that holds late diversity
+    # (late mean pairwise dist 0.65-0.72, 3/3 seeds) but cap the peak at
+    # 0.517 vs half-LR's 0.747, while half-LR posts its peak EARLY
+    # (typically <60k) and then collapses.  Starting the restarts after
+    # the peak window aims to keep the half-LR peak AND the restart
+    # regime's late health.  0 = restarts active from the first
+    # boundary (round-4 soak behaviour unchanged).
+    d_reset_start: int = 0
     # Diversity disqualifier for best-checkpoint tracking: an eval
     # candidate whose eval_mean_pairwise_dist sits below this floor
     # cannot become <workdir>/best even if the tracked metric improved

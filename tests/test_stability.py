@@ -370,6 +370,38 @@ def test_d_reset_fires_on_boundary_only():
     assert np.all(np.isfinite(np.asarray(m["g_total"])))
 
 
+def test_d_reset_start_gates_early_boundaries():
+    """d_reset_start=S: boundary steps below S leave D's trajectory on
+    its smooth Adam path; the first boundary at/after S fires the jump.
+    S=0 must keep the original always-on predicate (covered by the
+    boundary test above via identical tiny-config RNG streams)."""
+    import jax
+
+    from ndivplanning_tpu.train.state import create_train_state as mk
+
+    snap = lambda tree: jax.tree.map(lambda x: np.asarray(x), tree)
+
+    def l2(a, b):
+        return float(sum(
+            np.sum((np.asarray(x) - np.asarray(y)) ** 2)
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))) ** 0.5)
+
+    cfg = _tiny("goalcond", d_reset_every=5, d_reset_start=10)
+    state = mk(cfg)
+    d0 = snap(state.d_params)
+    # Steps 1..5: boundary at 5 is BELOW the start gate — no reset.
+    s5, _ = train_chunk(cfg, state, 5)
+    d5 = snap(s5.d_params)
+    drift = l2(d5, d0)
+    # Steps 6..10: boundary at 10 meets the gate — reset fires.
+    s10, _ = train_chunk(cfg, s5, 5)
+    jump = l2(s10.d_params, d5)
+    assert jump > 3 * drift, (drift, jump)
+    counts = [np.asarray(x) for x in jax.tree.leaves(s10.d_opt_state)
+              if np.asarray(x).dtype == np.int32]
+    assert any(int(c) == 0 for c in counts), counts
+
+
 def test_d_reset_off_matches_default_stream():
     """d_reset_every=0 (default) must be bitwise-identical to a config
     that never had the field exercised — the split-only-when-enabled
