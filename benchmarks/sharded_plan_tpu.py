@@ -114,6 +114,27 @@ def main() -> None:
     trj_lat = _time_calls(
         lambda: trj_fn(state_r, scene, cond, key)[0].best_score, 10)
 
+    from ndivplanning_tpu.parallel.sharded_plan import (
+        make_sharded_cem_trajopt,
+        make_sharded_ilqr,
+    )
+
+    ilqr_fn, _ = make_sharded_ilqr(cfg, mesh)
+    t0 = time.monotonic()
+    ilqr_out, _curve = ilqr_fn(state_r, scene, cond, key)
+    np.asarray(ilqr_out.best_score)
+    ilqr_compile_s = time.monotonic() - t0
+    ilqr_lat = _time_calls(
+        lambda: ilqr_fn(state_r, scene, cond, key)[0].best_score, 5)
+
+    hy_fn, _ = make_sharded_cem_trajopt(cfg, mesh)
+    t0 = time.monotonic()
+    hy_out, _curve = hy_fn(state_r, scene, cond, key)
+    np.asarray(hy_out.best_score)
+    hy_compile_s = time.monotonic() - t0
+    hy_lat = _time_calls(
+        lambda: hy_fn(state_r, scene, cond, key)[0].best_score, 5)
+
     row = {
         "backend": backend,
         "mesh": f"{n_dev}x1",
@@ -129,6 +150,10 @@ def main() -> None:
         "grad_latency_ms": round(grad_lat * 1e3, 3),
         "trajopt_compile_s": round(trj_compile_s, 2),
         "trajopt_latency_ms": round(trj_lat * 1e3, 3),
+        "ilqr_compile_s": round(ilqr_compile_s, 2),
+        "ilqr_latency_ms": round(ilqr_lat * 1e3, 3),
+        "cem_trajopt_compile_s": round(hy_compile_s, 2),
+        "cem_trajopt_latency_ms": round(hy_lat * 1e3, 3),
     }
     print(json.dumps(row))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

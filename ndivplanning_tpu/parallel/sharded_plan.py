@@ -221,3 +221,82 @@ def make_sharded_trajopt(cfg: Config, mesh: Mesh | None = None,
         )
 
     return jax.jit(body), mesh
+
+
+def make_sharded_ilqr(cfg: Config, mesh: Mesh | None = None,
+                      n_candidates: int | None = None,
+                      n_iters: int | None = None, reg0: float = 1.0,
+                      soft=None, n_diverse: int = 8,
+                      weights: ScoreWeights = ScoreWeights()):
+    """Candidate-sharded iLQR refinement (planning/ilqr.py): the
+    warm-start axis pinned over the mesh, so each device runs its shard
+    of the vmapped linearise -> Riccati -> parallel-line-search programs
+    independently — iLQR is the heaviest per-candidate refiner (the
+    whole point of sharding it), and nothing crosses candidates until
+    the final union hard-score selection.
+
+    Returns ``(ilqr_fn, mesh)``;
+    ``ilqr_fn(state, scene, condition, key) -> (PlanResult, cost_curve)``
+    numerically matches the unsharded
+    :func:`~ndivplanning_tpu.planning.ilqr.plan_ilqr`.
+    """
+    from ndivplanning_tpu.planning.grad_refine import SoftWeights
+    from ndivplanning_tpu.planning.ilqr import (
+        _ilqr_impl,
+        resolve_ilqr_budget,
+    )
+
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    n, iters = resolve_ilqr_budget(cfg, n_candidates, n_iters)
+    soft = SoftWeights() if soft is None else soft
+    cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
+
+    def body(state: TrainState, scene: Scene, condition: jnp.ndarray,
+             key: jax.Array):
+        return _ilqr_impl(
+            cfg, state, scene, condition, key, n, iters, soft, reg0,
+            n_diverse, weights,
+            constrain=lambda a: jax.lax.with_sharding_constraint(a, cand),
+        )
+
+    return jax.jit(body), mesh
+
+
+def make_sharded_cem_trajopt(cfg: Config, mesh: Mesh | None = None,
+                             n_steps: int | None = None,
+                             lr: float | None = None, soft=None,
+                             n_diverse: int = 8,
+                             weights: ScoreWeights = ScoreWeights()):
+    """Candidate-sharded CEM->trajopt hybrid (planning/trajopt.py
+    ``plan_cem_trajopt``): the CEM stage's population axis and the
+    trajopt stage's elite-seed axis are both pinned over the mesh; the
+    only cross-candidate points are CEM's replicated elite refit
+    (bytes), the top-m gather between the stages, and the final union
+    selection.
+
+    Returns ``(hybrid_fn, mesh)``;
+    ``hybrid_fn(state, scene, condition, key) -> (PlanResult, loss_curve)``
+    numerically matches the unsharded ``plan_cem_trajopt``.
+    """
+    from ndivplanning_tpu.planning.grad_refine import SoftWeights
+    from ndivplanning_tpu.planning.trajopt import (
+        _cem_trajopt_impl,
+        resolve_budget,
+    )
+
+    if mesh is None:
+        mesh = make_mesh(cfg=cfg)
+    _, steps, lr = resolve_budget(cfg, None, n_steps, lr)
+    soft = SoftWeights() if soft is None else soft
+    cand = NamedSharding(mesh, P((DP_AXIS, DIV_AXIS)))
+
+    def body(state: TrainState, scene: Scene, condition: jnp.ndarray,
+             key: jax.Array):
+        return _cem_trajopt_impl(
+            cfg, state, scene, condition, key, steps, lr, soft,
+            n_diverse, weights,
+            constrain=lambda a: jax.lax.with_sharding_constraint(a, cand),
+        )
+
+    return jax.jit(body), mesh

@@ -246,17 +246,22 @@ def _warm_start_actions(cfg: Config, scene: Scene,
 def _ilqr_impl(cfg: Config, state: TrainState, scene: Scene,
                condition: jnp.ndarray, key: jax.Array, n: int,
                n_iters: int, soft: SoftWeights, reg0: float,
-               n_diverse: int, weights: ScoreWeights):
-    z0 = jax.random.normal(key, (n, cfg.latent_dim))
-    tau0 = _decode(cfg, state, condition, z0)  # G as warm start
-    u0 = _warm_start_actions(cfg, scene, tau0)
+               n_diverse: int, weights: ScoreWeights, constrain=None):
+    # ``constrain``: candidate-axis mesh-layout hook (identity when
+    # unsharded) — same contract as trajopt/grad_refine/cem.  Pinning
+    # u0's warm-start axis makes the vmapped per-candidate Riccati
+    # programs split over the mesh; only the union selection gathers.
+    cst = constrain if constrain is not None else (lambda a: a)
+    z0 = cst(jax.random.normal(key, (n, cfg.latent_dim)))
+    tau0 = cst(_decode(cfg, state, condition, z0))  # G as warm start
+    u0 = cst(_warm_start_actions(cfg, scene, tau0))
 
     u_star, positions, curves = jax.vmap(
         lambda u: _ilqr_refine(cfg, scene, u, n_iters, soft, reg0))(u0)
     tau_ref = u_star if cfg.rollout_mode == "actions" else positions
 
     # Honest union selection (identical contract to trajopt/grad_refine).
-    taus = jnp.concatenate([tau0, tau_ref])
+    taus = cst(jnp.concatenate([tau0, tau_ref]))
     results = score_rollouts(cfg, scene, taus, weights)
     sel_scores = jnp.where(jnp.isfinite(results.score), results.score,
                            jnp.inf)

@@ -149,13 +149,15 @@ def plan_trajopt(cfg: Config, state: TrainState, scene: Scene,
 def _cem_trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
                       condition: jnp.ndarray, key: jax.Array,
                       n_steps: int, lr: float, soft: SoftWeights,
-                      n_diverse: int, weights: ScoreWeights):
+                      n_diverse: int, weights: ScoreWeights,
+                      constrain=None):
     from ndivplanning_tpu.planning.cem import _cem_impl, cem_population
 
     k_cem, _ = jax.random.split(key)
     n, elite, iters = cem_population(cfg)
     cem_plan, _ = _cem_impl(cfg, state, scene, condition, k_cem, n, elite,
-                            iters, 0.25, 0.05, n_diverse, weights)
+                            iters, 0.25, 0.05, n_diverse, weights,
+                            constrain=constrain)
     # Warm-start trajopt from CEM's TOP final candidates: CEM's global
     # latent search picks the basins (the only measured quadrotor
     # winner, BASELINE.md r3j), the tau optimiser slides within them.
@@ -166,7 +168,7 @@ def _cem_trajopt_impl(cfg: Config, state: TrainState, scene: Scene,
     sel = jnp.where(jnp.isfinite(cem_plan.scores), cem_plan.scores, jnp.inf)
     _, top_idx = jax.lax.top_k(-sel, m)
     return _trajopt_core(cfg, scene, cem_plan.taus[top_idx], n_steps, lr,
-                         soft, n_diverse, weights)
+                         soft, n_diverse, weights, constrain=constrain)
 
 
 @functools.partial(jax.jit, static_argnames=(

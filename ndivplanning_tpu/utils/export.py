@@ -54,6 +54,7 @@ GENERATOR_FILE = "generator.stablehlo"
 PLANNER_FILE = "planner.stablehlo"
 CEM_PLANNER_FILE = "cem_planner.stablehlo"
 TRAJOPT_PLANNER_FILE = "trajopt_planner.stablehlo"
+ILQR_PLANNER_FILE = "ilqr_planner.stablehlo"
 MPC_CONTROLLER_FILE = "mpc_controller.stablehlo"
 MANIFEST_FILE = "manifest.json"
 
@@ -241,6 +242,59 @@ def export_trajopt_planner(cfg: Config, state,
     return exp.serialize()
 
 
+def export_ilqr_planner(cfg: Config, state,
+                        n_candidates: int | None = None,
+                        n_iters: int | None = None,
+                        n_diverse: int = 8) -> bytes:
+    """Serialize the iLQR planner (planning/ilqr.py — the measured-best
+    open-loop mode on the underactuated quadrotor at ilqr_iters=36,
+    BASELINE.md round 4) as one StableHLO program: warm-start decode,
+    per-candidate linearise -> Riccati backward sweep -> parallel line
+    search under an outer ``lax.scan``, hard-scored union selection.
+    Defaults MATCH ``plan_ilqr`` (n = cfg.n_candidates/16,
+    cfg.ilqr_iters iterations); same raw-array scene signature plus a
+    ``cost_curve[b, iters]`` output.
+    """
+    from ndivplanning_tpu.envs.rollout import ScoreWeights
+    from ndivplanning_tpu.envs.types import MAX_OBSTACLES, Scene
+    from ndivplanning_tpu.planning.grad_refine import SoftWeights
+    from ndivplanning_tpu.planning.ilqr import (
+        _ilqr_impl,
+        resolve_ilqr_budget,
+    )
+
+    n, iters = resolve_ilqr_budget(cfg, n_candidates, n_iters)
+    state = jax.device_get(state)
+    weights = ScoreWeights()
+    soft = SoftWeights()
+
+    def plan_arrays(conditions, start, goal, obstacles, obstacle_mask,
+                    seeds):
+        def one(cond, s, g, obs, mask, seed):
+            scene = Scene(start=s, goal=g, obstacles=obs,
+                          obstacle_mask=mask)
+            key = jax.random.PRNGKey(seed)
+            r, curve = _ilqr_impl(cfg, state, scene, cond, key, n, iters,
+                                  soft, 1.0, n_diverse, weights)
+            return (r.best_traj, r.best_score, r.best_reached,
+                    r.diverse_trajs, curve)
+
+        return jax.vmap(one)(conditions, start, goal, obstacles,
+                             obstacle_mask, seeds)
+
+    (b,) = jax.export.symbolic_shape("b")
+    f32 = jnp.float32
+    exp = jax.export.export(jax.jit(plan_arrays), platforms=_PLATFORMS)(
+        _condition_struct(cfg, b),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, 2), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES, 3), f32),
+        jax.ShapeDtypeStruct((b, MAX_OBSTACLES), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    return exp.serialize()
+
+
 def export_mpc_controller(cfg: Config, state, total_steps: int = 64,
                           replan_every: int = 8,
                           n_candidates: int = 256) -> bytes:
@@ -300,9 +354,11 @@ def export_bundle(cfg: Config, state, out_dir: str,
     Returns the manifest dict (artifact names, sizes, config).
     """
     from ndivplanning_tpu.planning.cem import cem_population
+    from ndivplanning_tpu.planning.ilqr import resolve_ilqr_budget
     from ndivplanning_tpu.planning.trajopt import resolve_budget
 
     _trj_budget = resolve_budget(cfg, n_candidates)
+    _ilqr_budget = resolve_ilqr_budget(cfg, n_candidates)
     os.makedirs(out_dir, exist_ok=True)
     gen_blob = export_generator(cfg, state)
     plan_blob = export_planner(cfg, state, n_candidates=n_candidates,
@@ -312,6 +368,8 @@ def export_bundle(cfg: Config, state, out_dir: str,
     trajopt_blob = export_trajopt_planner(cfg, state,
                                           n_candidates=n_candidates,
                                           n_diverse=n_diverse)
+    ilqr_blob = export_ilqr_planner(cfg, state, n_candidates=n_candidates,
+                                    n_diverse=n_diverse)
     mpc_blob = export_mpc_controller(cfg, state,
                                      total_steps=mpc_total_steps,
                                      replan_every=mpc_replan_every,
@@ -324,6 +382,8 @@ def export_bundle(cfg: Config, state, out_dir: str,
         f.write(cem_blob)
     with open(os.path.join(out_dir, TRAJOPT_PLANNER_FILE), "wb") as f:
         f.write(trajopt_blob)
+    with open(os.path.join(out_dir, ILQR_PLANNER_FILE), "wb") as f:
+        f.write(ilqr_blob)
     with open(os.path.join(out_dir, MPC_CONTROLLER_FILE), "wb") as f:
         f.write(mpc_blob)
     manifest = {
@@ -368,6 +428,17 @@ def export_bundle(cfg: Config, state, out_dir: str,
             "signature": "(conditions, start, goal, obstacles, "
                          "obstacle_mask, seeds) -> (best_traj, best_score,"
                          " best_reached, diverse_trajs, loss_curve)",
+        },
+        "ilqr_planner": {
+            "file": ILQR_PLANNER_FILE,
+            "bytes": len(ilqr_blob),
+            # The budget actually baked into the artifact.
+            "n_warm_starts": _ilqr_budget[0],
+            "ilqr_iters": _ilqr_budget[1],
+            "n_diverse": n_diverse,
+            "signature": "(conditions, start, goal, obstacles, "
+                         "obstacle_mask, seeds) -> (best_traj, best_score,"
+                         " best_reached, diverse_trajs, cost_curve)",
         },
         "mpc_controller": {
             "file": MPC_CONTROLLER_FILE,

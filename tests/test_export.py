@@ -182,6 +182,57 @@ def test_trajopt_export_matches_live_plan_trajopt(tmp_path):
                                        np.asarray(curve[i]), atol=1e-6)
 
 
+def test_ilqr_export_matches_live_plan_ilqr(tmp_path):
+    """ilqr_planner.stablehlo == live plan_ilqr across batch sizes (the
+    measured-best open-loop quadrotor mode must be deployable like the
+    other planner families)."""
+    from ndivplanning_tpu.planning.ilqr import plan_ilqr
+    from ndivplanning_tpu.utils.export import ILQR_PLANNER_FILE
+
+    cfg = _small(ilqr_iters=2)
+    state = create_train_state(cfg)
+    export_bundle(cfg, state, str(tmp_path), n_diverse=4)
+    p = load_exported(str(tmp_path / ILQR_PLANNER_FILE))
+
+    for batch, seed0 in [(2, 7), (1, 21)]:  # symbolic batch dim
+        scenes = [random_scene(jax.random.PRNGKey(seed0 + i))
+                  for i in range(batch)]
+        conds = jnp.stack([_condition_for(cfg, s) for s in scenes])
+        start = jnp.stack([s.start for s in scenes])
+        goal = jnp.stack([s.goal for s in scenes])
+        obs = jnp.stack([s.obstacles for s in scenes])
+        mask = jnp.stack([s.obstacle_mask for s in scenes])
+        seeds = jnp.arange(seed0, seed0 + batch, dtype=jnp.int32)
+
+        best_traj, best_score, best_reached, diverse, curve = p(
+            conds, start, goal, obs, mask, seeds)
+        assert best_traj.shape == (batch, cfg.horizon, cfg.state_dim)
+        assert curve.shape == (batch, 2)
+
+        # Looser tolerance than the other planner-export parity tests:
+        # the exported artifact is a DIFFERENT XLA program from the live
+        # one (batch-vmapped), and iLQR's iterated linearise -> Riccati
+        # -> linalg.solve pipeline amplifies the expected cross-program
+        # 1-ulp drift (CLAUDE.md) through every iteration — measured max
+        # drift 1.3e-4 at 2 iterations.  Per-program determinism is
+        # untouched; this pins the artifact to the live math at the
+        # accuracy the iteration supports.
+        for i, scene in enumerate(scenes):
+            want, want_curve = plan_ilqr(
+                cfg, state, scene, conds[i],
+                jax.random.PRNGKey(int(seeds[i])), n_diverse=4,
+                weights=ScoreWeights())
+            np.testing.assert_allclose(np.asarray(want.best_traj),
+                                       np.asarray(best_traj[i]),
+                                       atol=2e-3)
+            np.testing.assert_allclose(float(want.best_score),
+                                       float(best_score[i]), rtol=1e-3,
+                                       atol=2e-3)
+            np.testing.assert_allclose(np.asarray(want_curve),
+                                       np.asarray(curve[i]), rtol=1e-3,
+                                       atol=2e-3)
+
+
 def test_generator_export_transformer_family(tmp_path):
     """The attention-decoder family exports through the same bundle path:
     build_models honors cfg.g_arch, so the serialized artifact must match

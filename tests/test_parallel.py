@@ -306,6 +306,73 @@ def test_sharded_grad_matches_unsharded():
                                                   rel=1e-4)
 
 
+def test_sharded_ilqr_matches_unsharded():
+    # Round-4 planner family: the warm-start axis pinned over the mesh
+    # must reproduce plan_ilqr's refinement exactly (same PRNG draws,
+    # same Riccati iterations — layout only).
+    from ndivplanning_tpu.data.scenes import random_scene
+    from ndivplanning_tpu.parallel.sharded_plan import make_sharded_ilqr
+    from ndivplanning_tpu.planning.ilqr import plan_ilqr
+
+    cfg = get_config("pod_dp", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8,
+                     conditioning="startgoal", dp_shards=4, div_shards=2,
+                     ilqr_iters=2)
+    state = create_train_state(cfg)
+    mesh = make_mesh(dp=4, div=2)
+    state_r = shard_state(state, mesh)
+    scene = random_scene(jax.random.PRNGKey(0))
+    condition = jnp.concatenate([scene.start, scene.goal], axis=-1)
+    key = jax.random.PRNGKey(1)
+
+    ilqr_fn, _ = make_sharded_ilqr(cfg, mesh, n_candidates=8, n_diverse=4)
+    got, got_curve = ilqr_fn(state_r, scene, condition, key)
+    want, want_curve = plan_ilqr(cfg, state, scene, condition, key,
+                                 n_candidates=8, n_diverse=4)
+
+    np.testing.assert_allclose(np.asarray(got_curve),
+                               np.asarray(want_curve), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.best_traj),
+                               np.asarray(want.best_traj), rtol=1e-4,
+                               atol=1e-5)
+    assert float(got.best_score) == pytest.approx(float(want.best_score),
+                                                  rel=1e-4)
+
+
+def test_sharded_cem_trajopt_matches_unsharded():
+    from ndivplanning_tpu.data.scenes import random_scene
+    from ndivplanning_tpu.parallel.sharded_plan import (
+        make_sharded_cem_trajopt,
+    )
+    from ndivplanning_tpu.planning.trajopt import plan_cem_trajopt
+
+    cfg = get_config("pod_dp", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8,
+                     conditioning="startgoal", dp_shards=4, div_shards=2,
+                     n_candidates=16, cem_iters=2, trajopt_steps=4)
+    state = create_train_state(cfg)
+    mesh = make_mesh(dp=4, div=2)
+    state_r = shard_state(state, mesh)
+    scene = random_scene(jax.random.PRNGKey(0))
+    condition = jnp.concatenate([scene.start, scene.goal], axis=-1)
+    key = jax.random.PRNGKey(1)
+
+    hy_fn, _ = make_sharded_cem_trajopt(cfg, mesh, n_diverse=4)
+    got, got_curve = hy_fn(state_r, scene, condition, key)
+    want, want_curve = plan_cem_trajopt(cfg, state, scene, condition, key,
+                                        n_diverse=4)
+
+    np.testing.assert_allclose(np.asarray(got_curve),
+                               np.asarray(want_curve), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.best_traj),
+                               np.asarray(want.best_traj), rtol=1e-4,
+                               atol=1e-5)
+    assert float(got.best_score) == pytest.approx(float(want.best_score),
+                                                  rel=1e-4)
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(dp=64, div=2)
