@@ -267,7 +267,8 @@ def main(argv=None) -> int:
                                 "device mesh (cfg dp_shards x div_shards"
                                 ") — the single-scene latency path on a "
                                 "pod; identical result to the unsharded "
-                                "plan (parallel/sharded_plan.py)")
+                                "planner, composes with --refine "
+                                "(parallel/sharded_plan.py)")
         if name == "serve":
             p.add_argument("--tcp", type=int, default=None, metavar="PORT",
                            help="serve the JSON-lines protocol over TCP "
@@ -596,11 +597,30 @@ def main(argv=None) -> int:
         condition = _condition_for(cfg, scene)
         out = {}
         if args.sharded and args.refine != "none":
-            print("--sharded applies to the one-shot planner only; "
-                  "drop --refine or run the refinement unsharded",
-                  file=sys.stderr)
-            return 2
-        if args.refine == "cem":
+            # Every refiner has a candidate-sharded factory
+            # (parallel/sharded_plan.py) — route through it and report
+            # the mesh; results are numerically identical to the
+            # unsharded refiner (virtual-mesh parity tests).
+            from ndivplanning_tpu.parallel.mesh import make_mesh
+            from ndivplanning_tpu.parallel import sharded_plan as sp
+            from ndivplanning_tpu.parallel.sharded_step import shard_state
+
+            factory = {
+                "cem": sp.make_sharded_cem,
+                "grad": sp.make_sharded_grad,
+                "trajopt": sp.make_sharded_trajopt,
+                "ilqr": sp.make_sharded_ilqr,
+                "cem+trajopt": sp.make_sharded_cem_trajopt,
+            }[args.refine]
+            mesh = make_mesh(cfg=cfg)
+            fn, _ = factory(cfg, mesh)
+            result, curve = fn(shard_state(state, mesh), scene, condition,
+                               jax.random.PRNGKey(cfg.seed + 4))
+            curve_key = ("best_curve" if args.refine == "cem"
+                         else "soft_loss_curve")
+            out[curve_key] = [float(s) for s in curve]
+            out["mesh"] = f"{cfg.dp_shards}x{cfg.div_shards}"
+        elif args.refine == "cem":
             from ndivplanning_tpu.planning.cem import plan_cem
 
             result, best_curve = plan_cem(cfg, state, scene, condition,

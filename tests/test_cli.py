@@ -54,10 +54,29 @@ def test_plan_sharded_matches_unsharded(tmp_path, capsys):
     assert got["best_reached"] == want["best_reached"]
 
 
-def test_plan_sharded_rejects_refine(tmp_path):
-    rc = main(["plan", "--preset", "pointmass2d", "--workdir",
-               str(tmp_path), "--sharded", "--refine", "cem"])
-    assert rc == 2
+def test_plan_sharded_refine_matches_unsharded(tmp_path, capsys):
+    # `plan --sharded --refine X` routes through the candidate-sharded
+    # refiner factories (round 4 — previously rejected) and must report
+    # the same plan as the unsharded refiner.
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    common = ["plan", "--preset", "pointmass2d", "--batch-size", "4",
+              "--k", "4", "--workdir", str(tmp_path),
+              "--set", "n_candidates=64", "--set", "cem_iters=2",
+              "--refine", "cem"]
+    rc = main(common)
+    assert rc == 0
+    want = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = main(common + ["--sharded", "--set", "dp_shards=4",
+                        "--set", "div_shards=2"])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["mesh"] == "4x2"
+    assert got["best_score"] == pytest.approx(want["best_score"], rel=1e-5)
+    assert got["best_curve"] == pytest.approx(want["best_curve"], rel=1e-5)
 
 
 def test_plan_refine_cem(tmp_path, capsys):
