@@ -212,6 +212,19 @@ def main(argv=None) -> int:
                            help="sample a fresh eval batch instead of "
                                 "the frozen 512-scene suite")
             p.add_argument("--suite-size", type=int, default=512)
+            p.add_argument("--planner", default=None,
+                           choices=("oneshot", "cem", "grad", "trajopt",
+                                    "ilqr", "cem+trajopt"),
+                           help="suite-scale OPEN-LOOP planner ladder: "
+                                "plan every frozen-suite scene with this "
+                                "planner family and report the mean best "
+                                "hard score (lower = better) + reach "
+                                "rate (train/evaluate.py::"
+                                "evaluate_fixed_planner)")
+            p.add_argument("--scene-chunk", type=int, default=None,
+                           help="scenes per device dispatch for "
+                                "--planner (default 128 oneshot / 16 "
+                                "refiners — the >1-min-dispatch guard)")
             p.add_argument("--dataset", default=None,
                            help="evaluate against the true scenes of a "
                                 "recorded .npz dataset (record-data) "
@@ -498,6 +511,16 @@ def main(argv=None) -> int:
 
     if args.cmd == "eval":
         state = _load_state(cfg)
+        if args.planner:
+            from ndivplanning_tpu.train.evaluate import (
+                evaluate_fixed_planner,
+            )
+
+            out = evaluate_fixed_planner(cfg, state, planner=args.planner,
+                                         n_scenes=args.suite_size,
+                                         scene_chunk=args.scene_chunk)
+            print(json.dumps(out))
+            return 0
         if args.mpc:
             from ndivplanning_tpu.train.evaluate import evaluate_fixed_mpc
 

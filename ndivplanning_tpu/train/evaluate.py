@@ -163,6 +163,82 @@ def evaluate_fixed_mpc(cfg: Config, state: TrainState,
     }
 
 
+def evaluate_fixed_planner(cfg: Config, state: TrainState,
+                           planner: str = "oneshot",
+                           n_scenes: int = EVAL_SUITE_SIZE,
+                           seed: int = EVAL_SUITE_SEED,
+                           scene_chunk: int | None = None):
+    """OPEN-LOOP planner quality on the frozen suite: every suite scene
+    is planned once with the chosen planner family and the best
+    candidate's hard score / reach is recorded — the suite-scale planner
+    ladder (previously only in benchmarks/ilqr_bench.py et al.) as a
+    first-class protocol, run-to-run comparable like
+    :func:`evaluate_fixed` (``eval --planner X`` in the CLI).
+
+    Chunked dispatches for the same reason as the MPC suite (the
+    >1-minute-dispatch worker-crash class — CLAUDE.md round 3); the
+    refiners default to smaller chunks than the one-shot planner because
+    their per-scene programs are 10-100x heavier (the measured
+    ILQR_CHUNK=16 discipline from the round-4 quadrotor study).
+
+    Returns ``eval_plan_best_score`` (suite mean of per-scene best hard
+    scores — LOWER is better, unlike the success rates elsewhere),
+    ``eval_plan_reach_rate``, and the planner echo.
+    """
+    if planner == "oneshot":
+        from ndivplanning_tpu.planning.planner import plan_batch as _pb
+        fn = lambda sc, co, k: plan_batch_result(_pb(cfg, state, sc, co, k))
+        chunk = 128 if scene_chunk is None else scene_chunk
+    else:
+        if planner == "cem":
+            from ndivplanning_tpu.planning.cem import plan_cem_batch as _b
+        elif planner == "grad":
+            from ndivplanning_tpu.planning.grad_refine import (
+                plan_grad_batch as _b,
+            )
+        elif planner == "trajopt":
+            from ndivplanning_tpu.planning.trajopt import (
+                plan_trajopt_batch as _b,
+            )
+        elif planner == "ilqr":
+            from ndivplanning_tpu.planning.ilqr import plan_ilqr_batch as _b
+        elif planner == "cem+trajopt":
+            from ndivplanning_tpu.planning.trajopt import (
+                plan_cem_trajopt_batch as _b,
+            )
+        else:
+            raise ValueError(
+                f"unknown planner {planner!r}; choose from ['oneshot', "
+                "'cem', 'grad', 'trajopt', 'ilqr', 'cem+trajopt']")
+        fn = lambda sc, co, k: plan_batch_result(_b(cfg, state, sc, co, k)[0])
+        chunk = 16 if scene_chunk is None else scene_chunk
+
+    import numpy as np
+
+    suite = make_eval_suite(cfg, n_scenes, seed)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 3), n_scenes)
+    scores, reached = [], []
+    for lo in range(0, n_scenes, chunk):
+        hi = min(lo + chunk, n_scenes)
+        s, r = fn(jax.tree.map(lambda a: a[lo:hi], suite.scenes),
+                  suite.conditions[lo:hi], keys[lo:hi])
+        scores.append(np.asarray(jax.device_get(s)))
+        reached.append(np.asarray(jax.device_get(r)))
+    scores = np.concatenate(scores)
+    reached = np.concatenate(reached)
+    return {
+        "eval_plan_best_score": float(np.mean(scores)),
+        "eval_plan_reach_rate": float(np.mean(reached)),
+        "eval_plan_n_scenes": float(n_scenes),
+        "eval_planner": planner,
+    }
+
+
+def plan_batch_result(result):
+    """(best_score[B], best_reached[B]) from a batched PlanResult."""
+    return result.best_score, result.best_reached
+
+
 def _evaluate_impl(cfg: Config, state: TrainState, k_z: jax.Array, batch,
                    use_ema: bool = True):
     eval_batch = batch.real_traj.shape[0]

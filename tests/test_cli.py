@@ -185,6 +185,30 @@ def test_eval_mpc_closed_loop_suite(tmp_path, capsys):
     assert out["eval_mpc_replan_every"] == 4.0
 
 
+def test_eval_planner_open_loop_ladder(tmp_path, capsys):
+    """`eval --planner X` reports frozen-suite open-loop planner quality
+    (the suite-scale ladder as a first-class protocol, round 4)."""
+    common = ["eval", "--preset", "pointmass2d", "--batch-size", "8",
+              "--k", "4", "--workdir", str(tmp_path),
+              "--suite-size", "4", "--set", "g_hidden=32",
+              "--set", "d_hidden=32", "--set", "n_candidates=32",
+              "--set", "trajopt_steps=2", "--scene-chunk", "2"]
+    rc = main(common + ["--planner", "oneshot"])
+    assert rc == 0
+    one = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert one["eval_planner"] == "oneshot"
+    assert one["eval_plan_n_scenes"] == 4.0
+
+    rc = main(common + ["--planner", "trajopt"])
+    assert rc == 0
+    trj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # The refiner's union selection can only improve on its own warm
+    # starts, but those are a DIFFERENT (smaller) candidate draw than
+    # the one-shot's — so only sanity-bound the outputs.
+    assert 0.0 <= trj["eval_plan_reach_rate"] <= 1.0
+    assert "eval_plan_best_score" in trj
+
+
 def test_serve_tcp_cli_end_to_end(tmp_path):
     """The full `serve --tcp` CLI path in a subprocess: readiness line
     on stdout, TCP round-trips from concurrent clients (cross-batch),
