@@ -341,7 +341,8 @@ def main(argv=None) -> int:
             p.add_argument("--out", required=True, help="output .npz path")
             p.add_argument("--n-examples", type=int, default=4096)
             p.add_argument("--from-planner", default=None,
-                           choices=("mpc", "trajopt", "ilqr", "cem+trajopt"),
+                           choices=("mpc", "trajopt", "ilqr", "cem+trajopt",
+                                    "oneshot"),
                            help="record PLANNER-generated expert "
                                 "trajectories (open-loop re-verified "
                                 "against their true scenes) instead of "
@@ -362,7 +363,17 @@ def main(argv=None) -> int:
                            help="independent planner draws per scene")
             p.add_argument("--planner", default="mpc",
                            choices=("mpc", "trajopt", "ilqr",
-                                    "cem+trajopt"))
+                                    "cem+trajopt", "oneshot"))
+            p.add_argument("--track", default=None,
+                           help="adjudication metric for accept/reject "
+                                "(default: the config's "
+                                "track_best_metric or "
+                                "eval_success_rate).  "
+                                "'eval_plan_best_score' adjudicates on "
+                                "the open-loop one-shot planner ladder "
+                                "(lower is better) — the score-axis "
+                                "protocol for families whose per-draw "
+                                "success is already at ceiling")
             p.add_argument("--epochs", type=int, default=None,
                            help="fine-tune epochs per round (default: "
                                 "~5000 optimizer steps)")
@@ -469,7 +480,8 @@ def main(argv=None) -> int:
             planner=args.planner, replan_every=args.mpc_replan,
             n_candidates=args.mpc_candidates,
             workdir=args.distill_workdir, suite_scenes=args.suite_size,
-            echo=True, min_diversity_frac=args.min_diversity_frac)
+            echo=True, min_diversity_frac=args.min_diversity_frac,
+            track=args.track)
         print(json.dumps({"rounds": report}))
         return 0
 

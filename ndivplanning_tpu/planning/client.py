@@ -146,7 +146,12 @@ class PlanningClient:
             except Overloaded as e:
                 if i + 1 >= attempts:
                     raise
-                time.sleep(max(e.retry_ms, 50) / 1000.0)
+                # Honor the server's drain estimate VERBATIM when the
+                # reply carried one (retry_ms > 0) — clamping it up to
+                # 50 ms would override a fast-drain hint (ADVICE r4);
+                # 50 ms is only the fallback for deadline sheds, whose
+                # replies carry no hint.
+                time.sleep((e.retry_ms if e.retry_ms > 0 else 50) / 1000.0)
         raise AssertionError("unreachable")
 
     def plan_batch(self, requests: list[dict], *,

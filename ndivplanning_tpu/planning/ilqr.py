@@ -57,7 +57,11 @@ from ndivplanning_tpu.utils.config import Config
 # Alpha 0 reproduces the nominal, so the branchless accept below can
 # never move to a worse trajectory.
 _ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.0)
-_ACTION_DIM = 2  # every env family's action space (envs/registry.py)
+# No hardcoded action dimension anywhere in this module: ``du`` is read
+# off the warm-start action sequences (``u0.shape``), which come from
+# ``distill_actions`` through each family's own ``waypoint_control`` —
+# a fifth family with a non-2D action space flows through unchanged
+# (``envs/registry.py::action_dim`` is the queryable source of truth).
 
 
 def _state_codec(template):

@@ -777,14 +777,20 @@ class _CrossBatcher:
         """Finish one ADMITTED pending: set its result exactly once and
         release its admission slot (the ``max_pending`` budget counts
         queued + in-flight requests, so every completion path must come
-        through here or the budget leaks)."""
-        if p.event.is_set():
-            return
-        if p.result is None:
-            p.result = result
+        through here or the budget leaks).
+
+        The completed-check and the decrement happen atomically under
+        ``_pending_lock``: today every completion path runs on the
+        dispatcher thread, but a check-then-act outside the lock would
+        turn any future concurrent completer into a double-decrement
+        that silently inflates the effective max_pending (ADVICE r4)."""
         with self._pending_lock:
+            if p.event.is_set():
+                return
+            if p.result is None:
+                p.result = result
             self._pending_n -= 1
-        p.event.set()
+            p.event.set()
 
     def _fail(self, pendings: list[_Pending], msg: str,
               counted: bool = True) -> None:

@@ -144,8 +144,21 @@ def _plan_expert_chunk(cfg: Config, state: TrainState, scenes, conditions,
         plan, _ = plan_cem_trajopt_batch(cfg, state, scenes, conditions,
                                          keys)
         return np.asarray(jax.device_get(plan.best_traj))
+    if planner == "oneshot":
+        # Self-distillation teacher (round 5, VERDICT r4 #5): the plain
+        # 1000-draw best-of-population planner over the CURRENT
+        # generator.  No refinement — the teacher's only edge over the
+        # student is selection (best of n_candidates) plus the caller's
+        # open-loop verification filter.  Use case: distill a frozen
+        # best-of-both checkpoint's verified successes into a fresh or
+        # late-collapsed student without the adversarial game.
+        from ndivplanning_tpu.planning.planner import plan_batch
+
+        plan = plan_batch(cfg, state, scenes, conditions, keys,
+                          n_candidates=n_candidates)
+        return np.asarray(jax.device_get(plan.best_traj))
     raise ValueError(f"unknown planner {planner!r}; choose from "
-                     "['mpc', 'trajopt', 'ilqr', 'cem+trajopt']")
+                     "['mpc', 'trajopt', 'ilqr', 'cem+trajopt', 'oneshot']")
 
 
 def record_planner_dataset(cfg: Config, state: TrainState, n_scenes: int,
@@ -279,11 +292,26 @@ def reset_for_finetune(cfg: Config, state: TrainState) -> TrainState:
     )
 
 
-def _suite_metrics(cfg: Config, state: TrainState, n_scenes: int) -> dict:
+def _suite_metrics(cfg: Config, state: TrainState, n_scenes: int,
+                   planner_track: Optional[str] = None) -> dict:
     from ndivplanning_tpu.train.evaluate import evaluate_fixed
 
-    return {k: float(v) for k, v in
-            evaluate_fixed(cfg, state, n_scenes=n_scenes).items()}
+    out = {k: float(v) for k, v in
+           evaluate_fixed(cfg, state, n_scenes=n_scenes).items()}
+    if planner_track:
+        # Score-axis adjudication (round 5, VERDICT r4 #3): on the
+        # kinematic families per-draw success sits at its ~0.98-1.0
+        # ceiling, so "did distillation work" is invisible to
+        # eval_success_rate — the quantity trajopt-60 moves is the
+        # suite's mean BEST planner score (4.1-6.4x better than
+        # one-shot, trajopt_results_families.json).  Merge the open-loop
+        # one-shot ladder protocol so expert_iteration can track it.
+        from ndivplanning_tpu.train.evaluate import evaluate_fixed_planner
+
+        pm = evaluate_fixed_planner(cfg, state, planner=planner_track,
+                                    n_scenes=n_scenes)
+        out.update({k: v for k, v in pm.items() if not isinstance(v, str)})
+    return out
 
 
 def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
@@ -294,7 +322,8 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
                      n_candidates: int = 256, scene_chunk: int = 128,
                      workdir: Optional[str] = None, seed: int = RECORD_SEED,
                      suite_scenes: int = 512, echo: bool = False,
-                     min_diversity_frac: float = 0.5):
+                     min_diversity_frac: float = 0.5,
+                     track: Optional[str] = None):
     """Iterated distillation: record planner successes -> GAN fine-tune
     on them -> frozen-suite eval; keep a round only if the tracked
     metric improves (monotone expert iteration).
@@ -321,14 +350,19 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
 
     if state is None:
         state = create_train_state(cfg)
-    track = cfg.track_best_metric or "eval_success_rate"
+    track = track or cfg.track_best_metric or "eval_success_rate"
+    # Tracking a planner-ladder metric (eval_plan_*) needs the planner
+    # suite eval merged into every before/after measurement; the ladder
+    # metric tracked is the ONE-SHOT score — the student's own serving
+    # mode — regardless of which (stronger) planner teaches.
+    planner_track = "oneshot" if track.startswith("eval_plan_") else None
     workdir = workdir or os.path.join(cfg.workdir or "/tmp/ndivplanning_tpu",
                                       "distill")
     import json
     import shutil
 
     report = []
-    before = _suite_metrics(cfg, state, suite_scenes)
+    before = _suite_metrics(cfg, state, suite_scenes, planner_track)
     best_val = before.get(track)
     # The diversity floor anchors at the PRE-ITERATION model: later
     # accepted rounds must each still clear it (no ratcheting down).
@@ -365,12 +399,28 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
                 best_val = row["after"].get(track)
             continue
         rec_path = os.path.join(round_dir, "record.json")
+        # A recording is reusable only if it was made with THIS
+        # invocation's parameters: the echo in record.json is the
+        # provenance check (a re-run with a changed planner/seed/scene
+        # count would otherwise silently fine-tune on stale data —
+        # ADVICE r4).  total_steps is normalised inside
+        # record_planner_dataset, so compare the raw request fields.
+        reuse = False
         if os.path.exists(rec_path) and os.path.exists(npz):
-            # Recording is deterministic in (state, seed) — reuse a
-            # finished recording from a crashed attempt of this round.
             with open(rec_path, encoding="utf-8") as f:
                 stats = json.load(f)
-        else:
+            want = {"planner": planner, "n_scenes": int(scenes_per_round),
+                    "per_scene": int(per_scene), "seed": int(seed + r),
+                    "n_candidates": int(n_candidates)}
+            stale = {k: (stats.get(k), v) for k, v in want.items()
+                     if stats.get(k) != v}
+            if stale:
+                if echo:
+                    print(f"[distill] round {r}: recorded dataset is "
+                          f"stale ({stale}); re-recording")
+            else:
+                reuse = True
+        if not reuse:
             stats = record_planner_dataset(
                 cfg, state, scenes_per_round, npz, planner=planner,
                 seed=seed + r, per_scene=per_scene,
@@ -427,7 +477,7 @@ def expert_iteration(cfg: Config, state: Optional[TrainState] = None, *,
         # frozen suite; prefer it over the (possibly degraded) final.
         best = ckpt.restore_latest(os.path.join(round_dir, "best"), ft)
         cand = best if best is not None else ft
-        after = _suite_metrics(cfg, cand, suite_scenes)
+        after = _suite_metrics(cfg, cand, suite_scenes, planner_track)
         row["after"] = after
         from ndivplanning_tpu.train.loop import _improved
 

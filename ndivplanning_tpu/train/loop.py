@@ -94,7 +94,7 @@ def _check_dataset_marker(workdir: str, dataset, cfg: Config) -> None:
 # best-checkpoint tracker.
 _LOWER_BETTER = frozenset({
     "eval_endpoint_err", "eval_collision_rate", "eval_ndiv",
-    "eval_mean_score",
+    "eval_mean_score", "eval_plan_best_score",
 })
 
 

@@ -280,14 +280,19 @@ def train_step_impl(cfg: Config, state: TrainState, batch: Batch,
         real_logits = disc_fwd(d_params, cond_real_d, real_for_d)
         fake_logits = disc_fwd(d_params, cond_fake_d, fake_for_d)
         loss = d_loss_fn_of(real_logits, fake_logits)
-        # The ADA overfitting heuristic r_t = E[sign(D(real))], logged by
-        # EVERY run (metric "d_rt"): the round-4 measurement of whether
-        # the heuristic moves at all in the infinite-synthetic-data
-        # regime (here it tracks D-overpowers-G sharpening, not
-        # memorisation).  Sign convention assumes logit-style D outputs
-        # (bce/hinge; lsgan scores sit near {0,1} so read with care).
+        # The ADA overfitting heuristic r_t = E[sign(D(real) - center)],
+        # logged by EVERY run (metric "d_rt"): the round-4 measurement of
+        # whether the heuristic moves at all in the infinite-synthetic-
+        # data regime (here it tracks D-overpowers-G sharpening, not
+        # memorisation).  The center is the loss variant's decision
+        # boundary: 0 for logit-style outputs (bce/hinge), 0.5 for
+        # lsgan's {0,1}-regression scores — uncentered lsgan scores sit
+        # almost entirely positive, which would saturate r_t at +1 and
+        # pin an ADA controller at p_max regardless of overfitting
+        # (ADVICE r4).
+        rt_center = 0.5 if cfg.gan_loss == "lsgan" else 0.0
         aux = {"rt": jnp.mean(jnp.sign(
-            real_logits.astype(jnp.float32)))}
+            real_logits.astype(jnp.float32) - rt_center))}
         if lc_w > 0:
             # LeCam (config.py lecam_weight): pin each class' logits to
             # the OTHER class' historical mean — the real-fake gap D can

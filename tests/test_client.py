@@ -181,3 +181,39 @@ def test_plan_batch_shed_raises_overloaded_with_position():
     c2 = PlanningClient(_FakeReader([bad_reply]), io.StringIO())
     with pytest.raises(ServerError, match="request 0"):
         c2.plan_batch([{"goal": [0.9, 0.9]}])
+
+
+def test_client_retry_sleeps_exact_hint(monkeypatch):
+    """The server's retry_ms drain estimate is honored VERBATIM when
+    present (ADVICE r4: max(hint, 50) silently overrode fast-drain hints
+    below 50 ms); the 50 ms fallback applies only to replies that carry
+    no hint (deadline sheds)."""
+    import io
+
+    import ndivplanning_tpu.planning.client as client_mod
+
+    slept = []
+    monkeypatch.setattr(client_mod.time, "sleep",
+                        lambda s: slept.append(s))
+
+    scripted = [
+        {"error": "overloaded", "retry_ms": 10},   # hint: sleep 10 ms
+        {"error": "deadline_exceeded"},            # no hint: 50 ms
+        {"best_traj": [[0.1, 0.1]], "best_score": 0.5},
+    ]
+
+    class _FakeReader:
+        def __init__(self, responses):
+            self._resp = list(responses)
+
+        def readline(self):
+            import json as _json
+            return _json.dumps(self._resp.pop(0)) + "\n"
+
+        def close(self):
+            pass
+
+    c = PlanningClient(_FakeReader(scripted), io.StringIO())
+    resp = c.plan(start=[0.1, 0.1], goal=[0.9, 0.9], retries=2)
+    assert resp["best_score"] == 0.5
+    assert slept == [0.010, 0.050]

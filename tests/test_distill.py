@@ -314,3 +314,107 @@ def test_resume_accepted_round_missing_best_raises(tmp_path):
         expert_iteration(cfg, state, rounds=1, scenes_per_round=16,
                          epochs=1, n_candidates=16, replan_every=4,
                          scene_chunk=16, workdir=wd, suite_scenes=16)
+
+
+# ---------------------- round-5: oneshot teacher + score adjudication --
+
+
+def test_record_oneshot_teacher(tmp_path):
+    """The self-distillation teacher (VERDICT r4 #5): plain best-of-
+    population one-shot planning over the current generator, recorded
+    through the same open-loop verification filter as every other
+    teacher."""
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    path = str(tmp_path / "expert.npz")
+    stats = record_planner_dataset(
+        cfg, state, 8, path, planner="oneshot", n_candidates=16,
+        scene_chunk=8, per_scene=2)
+    assert stats["planner"] == "oneshot"
+    assert stats["kept"] + stats["dropped"] == 16
+    if stats["kept"]:
+        with np.load(path) as d:
+            assert d["real_traj"].shape == (stats["kept"], cfg.horizon, 2)
+            assert d["conditions"].shape[0] == stats["kept"]
+
+
+def test_plan_best_score_is_lower_better():
+    from ndivplanning_tpu.train.loop import _improved
+
+    assert _improved("eval_plan_best_score", 0.1, 0.2)
+    assert not _improved("eval_plan_best_score", 0.3, 0.2)
+
+
+def test_track_planner_score_merges_ladder_metrics(tmp_path):
+    """track='eval_plan_best_score' adjudicates rounds on the open-loop
+    one-shot planner ladder (the score-axis protocol for families whose
+    per-draw success sits at ceiling): the before/after measurements
+    carry the eval_plan_* keys and acceptance follows lower-is-better."""
+    cfg = _cfg(n_candidates=16)
+    state = create_train_state(cfg)
+    state, report = expert_iteration(
+        cfg, state, rounds=1, scenes_per_round=8, epochs=1,
+        n_candidates=8, planner="oneshot", scene_chunk=8,
+        workdir=str(tmp_path / "distill"), suite_scenes=8,
+        track="eval_plan_best_score")
+    row = report[0]
+    assert "eval_plan_best_score" in row["before"]
+    if row["record"]["kept"]:
+        assert "eval_plan_best_score" in row["after"]
+        from ndivplanning_tpu.train.loop import _improved
+
+        want = _improved("eval_plan_best_score",
+                         row["after"]["eval_plan_best_score"],
+                         row["before"]["eval_plan_best_score"])
+        # The diversity guard can only flip an accept to a reject.
+        if "rejected_for_diversity" not in row:
+            assert row["accepted"] == want
+
+
+def test_stale_recording_is_re_recorded(tmp_path, monkeypatch):
+    """Crash-resume reuses a round's expert.npz ONLY when record.json's
+    echo matches the current invocation (ADVICE r4): a re-run with a
+    changed recording parameter re-records instead of silently
+    fine-tuning on stale data."""
+    import ndivplanning_tpu.train.distill as distill_mod
+
+    cfg = _cfg()
+    state = create_train_state(cfg)
+    wd = str(tmp_path / "distill")
+
+    calls = {"record": 0}
+    real_record = distill_mod.record_planner_dataset
+
+    def counting_record(*a, **k):
+        calls["record"] += 1
+        return real_record(*a, **k)
+
+    monkeypatch.setattr(distill_mod, "record_planner_dataset",
+                        counting_record)
+    distill_mod.expert_iteration(
+        cfg, state, rounds=1, scenes_per_round=16, epochs=1,
+        n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=wd, suite_scenes=16)
+    assert calls["record"] == 1
+    # Simulate a crash after recording but before the round finished:
+    # the report row vanishes, the recording stays.
+    os.remove(os.path.join(wd, "round_0", "report_row.json"))
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(wd, "round_0", "best"), ignore_errors=True)
+
+    # Same parameters -> the recording is reused (no new record call).
+    distill_mod.expert_iteration(
+        cfg, create_train_state(cfg), rounds=1, scenes_per_round=16,
+        epochs=1, n_candidates=16, replan_every=4, scene_chunk=16,
+        workdir=wd, suite_scenes=16)
+    assert calls["record"] == 1
+
+    # Changed parameter (n_candidates) -> stale echo -> re-record.
+    os.remove(os.path.join(wd, "round_0", "report_row.json"))
+    _sh.rmtree(os.path.join(wd, "round_0", "best"), ignore_errors=True)
+    distill_mod.expert_iteration(
+        cfg, create_train_state(cfg), rounds=1, scenes_per_round=16,
+        epochs=1, n_candidates=8, replan_every=4, scene_chunk=16,
+        workdir=wd, suite_scenes=16)
+    assert calls["record"] == 2

@@ -438,3 +438,19 @@ def test_ada_gates_all_three_diffaug_passes(monkeypatch):
     monkeypatch.setattr(step_mod, "_diffaug", spy)
     step_mod.train_step_impl(cfg, state, batch)
     assert len(seen) == 3 and all(seen), seen
+
+
+def test_ada_rt_centered_for_lsgan():
+    """The r_t overfitting heuristic centers at each loss variant's
+    decision boundary (ADVICE r4): lsgan's {0,1}-regression scores sit
+    near 0 at init, so sign(score - 0.5) reads ~-1 where the uncentered
+    sign(score) would read ~0/+1 and saturate an ADA controller at
+    p_max.  bce keeps the 0 boundary (stream-identical to round 4)."""
+    cfg = _tiny("goalcond", gan_loss="lsgan")
+    state = create_train_state(cfg)
+    _, metrics = train_chunk(cfg, state, 4)
+    rt = np.asarray(metrics["d_rt"])
+    # Untrained lsgan D outputs are near 0 < 0.5 for essentially every
+    # sample: the centered statistic starts pinned low, leaving the
+    # full [-1, 1] range to report real-confidence growth.
+    assert np.all(rt <= -0.5)
