@@ -519,6 +519,14 @@ def main() -> None:
         if "overload" in want:
             # ~2x the measured 45-QPS capacity edge (BASELINE.md r3p).
             result["overload"] = bench_overload(cfg, state, 100.0, 640)
+        if "overload_mp8" in want:
+            # max_pending BELOW the 32-connection count (VERDICT r4 #7):
+            # with closed-loop-ish senders in-flight tops out at the
+            # connection count, so the r4 leg (max_pending=32) only ever
+            # shed via deadline_ms on the chip — this leg chip-proves
+            # the `overloaded` admission path too (8 < 32).
+            result["overload_mp8"] = bench_overload(
+                cfg, state, 100.0, 640, max_pending=8)
         if "reload" in want:
             result["reload_under_fire"] = bench_reload_under_fire(
                 cfg, state, 8, max(n_iters, 10))
