@@ -136,10 +136,13 @@ def main() -> None:
         # measured best healthy-diversity recipe on the b512
         # image-conditioned configs) with the decay horizon pinned to
         # THIS soak's budget (the round-3 steps-horizon lesson).
+        cadence = min(5000, max(steps // 20, 1))
         cfg_s = cfg_t.replace(
             seed=seed, steps=steps, lr_schedule="cosine", g_lr=5e-4,
-            eval_every=5000, log_every=5000, checkpoint_every=25000,
-            workdir="")
+            eval_every=cadence, log_every=cadence,
+            checkpoint_every=max(steps // 4, 1), workdir="")
+        if ds.size < cfg_s.batch_size:  # tiny probes / heavy filtering
+            cfg_s = cfg_s.replace(batch_size=ds.size)
         steps_per_epoch = max(ds.size // cfg_s.batch_size, 1)
         n_epochs = -(-steps // steps_per_epoch)
         wd = os.path.join(scratch, f"student_s{seed}")
