@@ -68,6 +68,22 @@ leg distill_reacher_trajopt 10000 python -m ndivplanning_tpu.cli distill \
 grep '^{"rounds"' /tmp/r5/distill_reacher_trajopt.log | tail -1 \
   > benchmarks/distill_reacher_trajopt.json || true
 
+# tf. Transformer tuning matrix (VERDICT #4, third consecutive round):
+#     folded in here from round4q_queue.sh so it runs at the judge's own
+#     rank — after the seed-band + kinematic distills, before the
+#     selfdistill soak.  bf16 + warmup 2k + cosine, g_lr {1e-4, 5e-5},
+#     3 seeds x 100k goalcond.
+export CONVERGENCE_CHUNK_CAP=2000
+for lr in 0.0001 0.00005; do
+  for seed in 0 1 2; do
+    CONVERGENCE_OUT="benchmarks/convergence_tf_lr${lr}_s${seed}.json" \
+      leg "tf_${lr}_${seed}" 6000 python benchmarks/convergence_fixed.py \
+      100000 10000 \
+      "goalcond:{\"g_arch\":\"transformer\",\"lr_schedule\":\"cosine\",\"compute_dtype\":\"bf16\",\"warmup_steps\":2000,\"g_lr\":${lr},\"seed\":${seed}}"
+  done
+done
+unset CONVERGENCE_CHUNK_CAP
+
 leg selfdistill 10000 python benchmarks/selfdistill_bench.py 100000 0 1 2
 
 echo "=== r5 queue done ===" >&2
