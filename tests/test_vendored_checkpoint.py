@@ -138,3 +138,30 @@ def test_vendored_quadrotor_distilled_restores_and_scores():
     ev = evaluate_fixed(cfg, best, n_scenes=128)
     assert float(ev["eval_success_rate"]) >= 0.40, ev
     assert float(ev["eval_mean_pairwise_dist"]) >= 0.40, ev
+
+
+def test_vendored_quadrotor_distilled_ilqr_restores_and_scores():
+    # The round-5 expert-iteration result with the iLQR-36 teacher
+    # (BASELINE.md r5 — 0.310 -> 0.519 at 512 scenes over two accepted
+    # rounds, best-of-both 0.536 on TPU; this 128-slice measured 0.5225
+    # on CPU at diversity 0.482, the 512-scene CPU re-eval 0.5144).
+    # Floors pin that the iLQR-DISTILLED weights shipped: the base
+    # checkpoint's 128-slice is ~0.31 and the cem+trajopt-distilled
+    # one's is ~0.45, so >=0.48 separates it from both.
+    from ndivplanning_tpu.train.evaluate import evaluate_fixed
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+    from ndivplanning_tpu.utils.config import load_config
+
+    wd = os.path.join(REPO, "checkpoints", "quadrotor_distilled_ilqr")
+    if not os.path.isdir(wd):
+        pytest.skip("vendored quadrotor_distilled_ilqr checkpoint not present")
+    cfg = load_config(wd)
+    assert cfg is not None and cfg.env == "quadrotor"
+    state = create_train_state(cfg)
+    best = ckpt.restore_latest(os.path.join(wd, "best"), state)
+    assert best is not None
+    assert int(best.step) == 1512  # best_path.json provenance
+    ev = evaluate_fixed(cfg, best, n_scenes=128)
+    assert float(ev["eval_success_rate"]) >= 0.48, ev
+    assert float(ev["eval_mean_pairwise_dist"]) >= 0.40, ev
