@@ -165,3 +165,37 @@ def test_vendored_quadrotor_distilled_ilqr_restores_and_scores():
     ev = evaluate_fixed(cfg, best, n_scenes=128)
     assert float(ev["eval_success_rate"]) >= 0.48, ev
     assert float(ev["eval_mean_pairwise_dist"]) >= 0.40, ev
+
+
+def test_vendored_unicycle_distilled_restores_and_scores():
+    # The round-5 score-axis expert-iteration result: unicycle150k
+    # fine-tuned on trajopt-64 expert data, adjudicated on the OPEN-LOOP
+    # plan score (BASELINE.md r5 — one-shot eval_plan_best_score 0.5465
+    # -> 0.1769 at 512 scenes over two accepted rounds; this 128-slice
+    # measured 0.1753 on CPU, base 0.5414, reach 1.0 both).  The score
+    # ceiling <=0.30 pins that the DISTILLED weights shipped (3x from
+    # the base); the success/diversity floors catch corruption — the
+    # distilled student trades per-draw success (0.89 vs 1.0) for a 3.1x
+    # better best-of-population score at HIGHER diversity (0.87 vs
+    # 0.74), the serving-relevant axes.
+    from ndivplanning_tpu.train.evaluate import (evaluate_fixed,
+                                                 evaluate_fixed_planner)
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils import checkpoint as ckpt
+    from ndivplanning_tpu.utils.config import load_config
+
+    wd = os.path.join(REPO, "checkpoints", "unicycle_distilled")
+    if not os.path.isdir(wd):
+        pytest.skip("vendored unicycle_distilled checkpoint not present")
+    cfg = load_config(wd)
+    assert cfg is not None and cfg.env == "unicycle"
+    state = create_train_state(cfg)
+    best = ckpt.restore_latest(os.path.join(wd, "best"), state)
+    assert best is not None
+    assert int(best.step) == 4536  # best_path.json provenance
+    ev = evaluate_fixed(cfg, best, n_scenes=128)
+    assert float(ev["eval_success_rate"]) >= 0.80, ev
+    assert float(ev["eval_mean_pairwise_dist"]) >= 0.50, ev
+    pm = evaluate_fixed_planner(cfg, best, planner="oneshot", n_scenes=128)
+    assert float(pm["eval_plan_best_score"]) <= 0.30, pm
+    assert float(pm["eval_plan_reach_rate"]) >= 0.99, pm
