@@ -36,13 +36,30 @@ class CompileCount:
     names: list = dataclasses.field(default_factory=list)
     durations: list = dataclasses.field(default_factory=list)
 
+    # jax-library helper programs dispatched eagerly during param/state
+    # init — one compile each per run, never per-chunk, so they are not
+    # the recompile hazard the budget guards.  On a loaded single-core
+    # host their compile wall time can exceed any fixed threshold (a
+    # 1-vCPU box measured _truncated_normal at >1 s), so major() must
+    # classify by identity, not duration alone.
+    _INIT_HELPERS = frozenset({
+        "_truncated_normal", "_normal", "_uniform", "_randint",
+        "_threefry_split", "_threefry_fold_in", "threefry_2x32",
+        "_copy", "convert_element_type", "broadcast_in_dim", "iota",
+    })
+
     def major(self, threshold_secs: float = 1.0) -> list:
-        # 1.0 s separates cleanly: one-op helpers and PRNG utilities
-        # compile in <=0.4 s even on CPU; real fused programs (train
-        # chunk, evaluate, plan) take multiple seconds on CPU and
-        # 90-300 s on the TPU tunnel.
-        return [n for n, d in zip(self.names, self.durations)
-                if d >= threshold_secs]
+        # 1.0 s separates cleanly on an unloaded host: one-op helpers
+        # and PRNG utilities compile in <=0.4 s; real fused programs
+        # (train chunk, evaluate, plan) take multiple seconds on CPU
+        # and 90-300 s on the TPU tunnel.  Known init helpers are
+        # excluded by name regardless of duration (see _INIT_HELPERS).
+        out = []
+        for n, d in zip(self.names, self.durations):
+            base = n[4:-1] if n.startswith("jit(") and n.endswith(")") else n
+            if d >= threshold_secs and base not in self._INIT_HELPERS:
+                out.append(n)
+        return out
 
     def total_secs(self) -> float:
         return float(sum(self.durations))
