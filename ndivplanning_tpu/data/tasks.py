@@ -203,6 +203,20 @@ def make_task(cfg: Config) -> Task:
     else:
         raise ValueError(f"unknown conditioning {cfg.conditioning!r}")
     if cfg.rollout_mode == "actions":
+        # Under action mode the model's trajectory entries ARE actions,
+        # so G's output width must equal the family's action dim.  The
+        # first four families all have action_dim == 2 == the state_dim
+        # default, which let this stay implicit; arm3 (action_dim = 3)
+        # is why it is now checked (a mismatch otherwise surfaces as a
+        # confusing matmul shape error deep inside the train step).
+        from ndivplanning_tpu.envs.registry import action_dim
+
+        du = action_dim(cfg.env)
+        if cfg.state_dim != du:
+            raise ValueError(
+                f"rollout_mode='actions' with env {cfg.env!r} needs "
+                f"state_dim == action_dim == {du} (trajectory entries "
+                f"are actions), got state_dim={cfg.state_dim}")
         fn = _actionize(fn, cfg.env)
         name += "+actions"
     return Task(name=name, conditioning=conditioning, sample=fn)

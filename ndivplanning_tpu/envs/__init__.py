@@ -15,11 +15,14 @@ from ndivplanning_tpu.envs.rollout import (
     rollout_waypoints,
     score_candidates,
 )
+from ndivplanning_tpu.envs.arm3 import Arm3Params, Arm3State
 from ndivplanning_tpu.envs.quadrotor import QuadrotorParams, QuadrotorState
 from ndivplanning_tpu.envs.reacher import ReacherParams, ReacherState
 from ndivplanning_tpu.envs.unicycle import UnicycleParams, UnicycleState
 
 __all__ = [
+    "Arm3Params",
+    "Arm3State",
     "EnvAPI",
     "EnvParams",
     "EnvState",

@@ -59,9 +59,18 @@ def get_env(name: str) -> EnvAPI:
             step=quadrotor.step,
             waypoint_control=quadrotor.waypoint_control,
         )
+    if name == "arm3":
+        from ndivplanning_tpu.envs import arm3
+
+        return EnvAPI(
+            make_params=arm3.Arm3Params.create,
+            reset=arm3.reset,
+            step=arm3.step,
+            waypoint_control=arm3.waypoint_control,
+        )
     raise ValueError(
         f"unknown env {name!r}; expected pointmass | unicycle | reacher "
-        "| quadrotor")
+        "| quadrotor | arm3")
 
 
 def action_dim(name: str) -> int:

@@ -30,7 +30,9 @@ class Config:
     # forward speed, actions = accel + steering rate) | "reacher"
     # (two-link arm, joint-space state, IK reset, J^T waypoint control)
     # | "quadrotor" (planar thrust-vectored, underactuated with gravity,
-    # actions = two rotor thrusts, cascaded waypoint control).
+    # actions = two rotor thrusts, cascaded waypoint control) | "arm3"
+    # (three-link redundant arm — the first family with action_dim = 3;
+    # G still emits 2-D workspace waypoints, only the action path widens).
     env: str = "pointmass"
     image_size: int = 32
     horizon: int = 32

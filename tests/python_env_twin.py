@@ -136,6 +136,86 @@ class PyReacherEnv:
         return self.pos.copy()
 
 
+class PyArm3Env:
+    """Step-by-step three-link-arm twin (mirrors envs/arm3.py, written
+    with explicit Python control flow and plain NumPy)."""
+
+    def __init__(self, dt=0.1, l1=0.4, l2=0.2, l3=0.2, base=(0.5, 0.5),
+                 max_accel=40.0, max_qd=4.0, goal_radius=0.05):
+        self.dt = dt
+        self.l1 = l1
+        self.l2 = l2
+        self.l3 = l3
+        self.base = np.asarray(base, np.float32)
+        self.max_accel = max_accel
+        self.max_qd = max_qd
+        self.goal_radius = goal_radius
+
+    def _fk(self, q):
+        a1, a2, a3 = q[0], q[0] + q[1], q[0] + q[1] + q[2]
+        j1 = self.base + np.float32(self.l1) * np.asarray(
+            [math.cos(a1), math.sin(a1)], np.float32)
+        j2 = j1 + np.float32(self.l2) * np.asarray(
+            [math.cos(a2), math.sin(a2)], np.float32)
+        ee = j2 + np.float32(self.l3) * np.asarray(
+            [math.cos(a3), math.sin(a3)], np.float32)
+        return j1, j2, ee
+
+    def _segment_hits(self, p0, p1):
+        for o in self.obstacles:
+            d, c = p1 - p0, o[:2]
+            len2 = float(np.dot(d, d))
+            t = 0.0 if len2 < 1e-12 else float(np.dot(c - p0, d)) / len2
+            t = min(max(t, 0.0), 1.0)
+            closest = p0 + np.float32(t) * d
+            if float(np.sum((c - closest) ** 2)) < float(o[2] ** 2):
+                return True
+        return False
+
+    def reset(self, scene):
+        self.start = np.asarray(scene["start"], np.float32)
+        self.goal = np.asarray(scene["goal"], np.float32)
+        self.obstacles = [np.asarray(o, np.float32)
+                          for o in scene.get("obstacles", [])]
+        # q3 = 0 + two-link IK over the virtual links (l1, l2+l3),
+        # elbow-up branch (matches arm3.inverse_kinematics)
+        lv = self.l2 + self.l3
+        rel = self.start - self.base
+        c2 = (float(np.dot(rel, rel)) - self.l1**2 - lv**2) / (
+            2.0 * self.l1 * lv)
+        c2 = min(max(c2, -1.0), 1.0 - 1e-7)
+        q2 = math.acos(c2)
+        q1 = math.atan2(float(rel[1]), float(rel[0])) - math.atan2(
+            lv * math.sin(q2), self.l1 + lv * c2)
+        self.q = np.asarray([q1, q2, 0.0], np.float32)
+        self.qd = np.zeros(3, np.float32)
+        _, _, self.pos = self._fk(self.q)
+        self.t = 0
+        self.done = False
+        self.collided = False
+        return self.pos.copy()
+
+    def step(self, action):
+        if self.done:
+            return self.pos.copy()
+        a = np.clip(np.asarray(action, np.float32),
+                    -self.max_accel, self.max_accel)
+        qd = np.clip(self.qd + a * np.float32(self.dt),
+                     -self.max_qd, self.max_qd).astype(np.float32)
+        q = (self.q + qd * np.float32(self.dt)).astype(np.float32)
+        j1, j2, ee = self._fk(q)
+        if (self._segment_hits(self.pos, ee)
+                or self._segment_hits(self.base, j1)
+                or self._segment_hits(j1, j2)
+                or self._segment_hits(j2, ee)):
+            self.collided = True
+        if math.sqrt(float(np.sum((ee - self.goal) ** 2))) < self.goal_radius:
+            self.done = True
+        self.q, self.qd, self.pos = q, qd, ee
+        self.t += 1
+        return self.pos.copy()
+
+
 class PyUnicycleEnv:
     """Step-by-step unicycle twin (mirrors envs/unicycle.py, written with
     explicit Python control flow)."""

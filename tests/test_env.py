@@ -128,12 +128,13 @@ def test_registry_action_dim_derived_per_family():
     """envs/registry.py::action_dim — the queryable action-space dim,
     DERIVED from each family's waypoint_control output via eval_shape
     (VERDICT r4 weak #5: no hardcoded 'actions are 2-D' constant
-    anywhere).  All four current families happen to be 2-D; a fifth
-    family with a different dim flows through this same probe."""
+    anywhere).  The first four families happen to be 2-D; arm3 is the
+    fifth family VERDICT anticipated, with a genuinely different dim."""
     from ndivplanning_tpu.envs.registry import action_dim
 
     for name in ("pointmass", "unicycle", "reacher", "quadrotor"):
         assert action_dim(name) == 2
+    assert action_dim("arm3") == 3
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown env"):

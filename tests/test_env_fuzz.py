@@ -21,6 +21,11 @@ from ndivplanning_tpu.envs.reacher import (
     reset as re_reset,
     step as re_step,
 )
+from ndivplanning_tpu.envs.arm3 import (
+    Arm3Params,
+    reset as a3_reset,
+    step as a3_step,
+)
 from ndivplanning_tpu.envs.types import EnvParams, Scene
 from ndivplanning_tpu.envs.unicycle import (
     UnicycleParams,
@@ -28,6 +33,7 @@ from ndivplanning_tpu.envs.unicycle import (
     step as un_step,
 )
 from tests.python_env_twin import (
+    PyArm3Env,
     PyPointMassEnv,
     PyQuadrotorEnv,
     PyReacherEnv,
@@ -107,6 +113,25 @@ def test_reacher_random_params_match_twin(case):
                   goal_radius=float(rng.uniform(0.02, 0.1)))
     actions = rng.normal(scale=25.0, size=(N_STEPS, 2)).astype(np.float32)
     _drive(re_reset, re_step, ReacherParams.create, PyReacherEnv(**kwargs),
+           _random_scene(rng), actions, kwargs, atol=5e-5)
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_arm3_random_params_match_twin(case):
+    rng = np.random.default_rng(5000 + case)
+    # Total reach l1+l2+l3 covers the corner distance (sqrt(.5) ~ .707);
+    # splits keep the virtual two-link (l1, l2+l3) away from its own
+    # degenerate annulus so every sampled start stays IK-reachable.
+    l1 = float(rng.uniform(0.35, 0.45))
+    rest = float(rng.uniform(0.75 - l1 + 0.05, 0.45))
+    split = float(rng.uniform(0.35, 0.65))
+    kwargs = dict(dt=float(rng.uniform(0.02, 0.2)), l1=l1,
+                  l2=rest * split, l3=rest * (1.0 - split),
+                  max_accel=float(rng.uniform(10.0, 60.0)),
+                  max_qd=float(rng.uniform(2.0, 6.0)),
+                  goal_radius=float(rng.uniform(0.02, 0.1)))
+    actions = rng.normal(scale=25.0, size=(N_STEPS, 3)).astype(np.float32)
+    _drive(a3_reset, a3_step, Arm3Params.create, PyArm3Env(**kwargs),
            _random_scene(rng), actions, kwargs, atol=5e-5)
 
 

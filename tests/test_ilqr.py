@@ -35,7 +35,7 @@ def _setup(seed=1, **kw):
 
 def test_state_codec_roundtrips_every_family():
     scene = Scene.create([0.2, 0.2], [0.8, 0.8])
-    for name in ("pointmass", "unicycle", "reacher", "quadrotor"):
+    for name in ("pointmass", "unicycle", "reacher", "quadrotor", "arm3"):
         api = get_env(name)
         st = api.reset(api.make_params(), scene)
         ravel, unravel, pos_slice, dim = _state_codec(st)
