@@ -288,3 +288,45 @@ def test_ilqr_refines_arm3_actions():
     # measured: 0.375 -> 0.0496 in 10 iters at these defaults
     assert float(curve[-1]) < 0.5 * float(curve[0])
     assert float(jnp.linalg.norm(positions[-1] - scene.goal)) < 0.1
+
+
+def test_sharded_ilqr_over_arm3_matches_unsharded():
+    """The mesh path at action_dim=3: candidate-sharded iLQR over arm3
+    must reproduce the single-device planner exactly (layout only) —
+    the [H, 3] action axis rides the sharded warm-start pinning with no
+    family-specific code."""
+    from ndivplanning_tpu.data.scenes import random_scene
+    from ndivplanning_tpu.parallel.mesh import make_mesh
+    from ndivplanning_tpu.parallel.sharded_plan import make_sharded_ilqr
+    from ndivplanning_tpu.parallel.sharded_step import shard_state
+    from ndivplanning_tpu.planning.ilqr import plan_ilqr
+    from ndivplanning_tpu.train.state import create_train_state
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("pod_dp", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8,
+                     conditioning="startgoal", env="arm3", dp_shards=4,
+                     div_shards=2, ilqr_iters=2)
+    state = create_train_state(cfg)
+    mesh = make_mesh(dp=4, div=2)
+    state_r = shard_state(state, mesh)
+    scene = random_scene(jax.random.PRNGKey(0))
+    condition = jnp.concatenate([scene.start, scene.goal], axis=-1)
+    key = jax.random.PRNGKey(1)
+
+    ilqr_fn, _ = make_sharded_ilqr(cfg, mesh, n_candidates=8, n_diverse=4)
+    got, got_curve = ilqr_fn(state_r, scene, condition, key)
+    want, want_curve = plan_ilqr(cfg, state, scene, condition, key,
+                                 n_candidates=8, n_diverse=4)
+
+    np.testing.assert_allclose(np.asarray(got_curve),
+                               np.asarray(want_curve), rtol=1e-4, atol=1e-5)
+    # Looser than the 2-D families' parity test: sharded and unsharded
+    # are DIFFERENT compiled programs (1-ulp drift, CLAUDE.md), and
+    # arm3's three chained f32 sin/cos per FK amplify that through the
+    # iLQR iterations (measured max drift 4.4e-4 on the refined traj).
+    np.testing.assert_allclose(np.asarray(got.best_traj),
+                               np.asarray(want.best_traj), rtol=2e-3,
+                               atol=1e-3)
+    assert float(got.best_score) == pytest.approx(float(want.best_score),
+                                                  rel=2e-3)
