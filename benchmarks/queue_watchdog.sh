@@ -1,34 +1,39 @@
 #!/bin/bash
 # Watchdog for a running chip-queue bash (round5b_queue.sh etc.).
 #
-# Failure shape it targets (CLAUDE.md round 3/4, re-measured this round):
-# the axon worker flaps every ~20-40 min; a client caught mid-dispatch
-# HANGS forever with ZERO further CPU ticks while the worker itself
-# recovers in minutes and answers fresh probes instantly.  The queue's
-# per-leg `timeout` only bounds the loss at 1.7-2.8 h per attempt; this
-# watchdog bounds it at ~CHECK*STRIKES minutes.
+# Failure shape it targets (CLAUDE.md round 3/4, re-measured twice on
+# 2026-08-20): the axon worker flaps every ~20-40 min; a client caught
+# mid-dispatch HANGS forever while the worker itself recovers in
+# minutes.  Measured refinements from the two round-5 hangs:
+#   - a hung client is NOT perfectly silent: background threads tick
+#     ~1 CPU tick per 10-25 min, which reset the old exact-equality
+#     strike counter.  "Silent" is therefore delta < 2 ticks per check
+#     (a live client fetching recording chunks or scan results moves
+#     tens of ticks per return).
+#   - while the worker is DOWN the probe fails too, and the old policy
+#     (kill only when the probe PASSES) never fired — both hangs needed
+#     manual kills.  Mid-dispatch hangs never recover (r3 evidence), and
+#     killing against a down worker is safe because every queue leg
+#     re-enters wait_healthy before its retry.  So: after HARD_STRIKES
+#     of dead silence the client is killed regardless of probe outcome.
 #
-# Kill policy (conservative — a false kill burns one of a leg's 3
-# attempts): the leg's python client is killed BY EXACT PID only when
-#   (a) its cumulative CPU ticks are UNCHANGED across STRIKES consecutive
-#       checks (a working client always ticks: recording chunks ~1.5 s,
-#       scan chunks <=60 s, remote compiles <=~300 s between returns), AND
-#   (b) an independent tiny TPU probe PASSES — i.e. the worker is up and
-#       serving new connections, so "busy chip" (round-4 false-negative
-#       gotcha) cannot explain the silence.
-# If the probe fails the strike clock keeps counting but no kill happens:
-# a down worker means the client may be in the recoverable
-# wait-then-error path, and the queue's own timeout still bounds it.
-#
-# PID discovery walks the process tree (queue bash -> timeout -> python);
-# NO pattern matching anywhere (pgrep -f matches our own argv).
+# Kill policy:
+#   (a) silent for STRIKES consecutive checks AND a fresh tiny-TPU probe
+#       PASSES -> hung client on a healthy worker: kill now; or
+#   (b) silent for HARD_STRIKES consecutive checks (probe irrelevant —
+#       zero-tick silence that long is impossible for any legitimate
+#       dispatch pattern: scan chunks <=60 s, remote compiles <=~300 s,
+#       every return ticks the host) -> kill.
+# Kills are BY EXACT PID only; PID discovery walks the process tree
+# (queue bash -> timeout -> python); NO pattern matching anywhere.
 #
 # Usage: nohup bash benchmarks/queue_watchdog.sh <queue_bash_pid> \
 #          >/tmp/r5/watchdog.log 2>&1 &
 set -u
 QPID="${1:?usage: queue_watchdog.sh <queue_bash_pid>}"
 CHECK="${WATCHDOG_CHECK_SECS:-300}"
-STRIKES="${WATCHDOG_STRIKES:-5}"   # 5 x 300 s = 25 min of total silence
+STRIKES="${WATCHDOG_STRIKES:-5}"        # 25 min silence + healthy probe
+HARD_STRIKES="${WATCHDOG_HARD_STRIKES:-8}"  # 40 min silence, probe or not
 
 log() { echo "[wd $(date -u +%H:%M:%S)] $*"; }
 
@@ -57,25 +62,33 @@ print(float(np.asarray(jax.jit(lambda a: (a @ a).sum())(x))))
 ' >/dev/null 2>&1
 }
 
+kill_leg() {
+  kill "$1" 2>/dev/null
+  sleep 10
+  kill -0 "$1" 2>/dev/null && kill -9 "$1" 2>/dev/null
+}
+
 last_pid="" last_ticks="" strikes=0
-log "watching queue pid $QPID (check=${CHECK}s strikes=$STRIKES)"
+log "watching queue pid $QPID (check=${CHECK}s strikes=$STRIKES hard=$HARD_STRIKES)"
 while kill -0 "$QPID" 2>/dev/null; do
   sleep "$CHECK"
   pid=$(leg_python_pid) || { last_pid=""; strikes=0; continue; }
   ticks=$(cpu_ticks "$pid")
   [[ -z "$ticks" ]] && { last_pid=""; strikes=0; continue; }
-  if [[ "$pid" == "$last_pid" && "$ticks" == "$last_ticks" ]]; then
+  if [[ "$pid" == "$last_pid" ]] && (( ticks - last_ticks < 2 )); then
     strikes=$((strikes + 1))
-    log "pid $pid silent (ticks=$ticks, strike $strikes/$STRIKES)"
-    if (( strikes >= STRIKES )); then
+    log "pid $pid silent (ticks=$ticks, strike $strikes/$STRIKES hard=$HARD_STRIKES)"
+    if (( strikes >= HARD_STRIKES )); then
+      log "KILL (hard): pid $pid dead-silent ${strikes}x${CHECK}s -> hung client (worker state irrelevant)"
+      kill_leg "$pid"
+      strikes=0; last_pid=""
+    elif (( strikes >= STRIKES )); then
       if probe_ok; then
         log "KILL: pid $pid silent ${strikes}x${CHECK}s and chip probe passes -> hung client"
-        kill "$pid" 2>/dev/null
-        sleep 10
-        kill -0 "$pid" 2>/dev/null && kill -9 "$pid" 2>/dev/null
+        kill_leg "$pid"
         strikes=0; last_pid=""
       else
-        log "pid $pid silent but probe FAILS (worker down/busy) - not killing"
+        log "pid $pid silent but probe FAILS (worker down/busy) - hard kill at $HARD_STRIKES"
       fi
     fi
   else
