@@ -6,10 +6,11 @@
 # mid-dispatch HANGS forever while the worker itself recovers in
 # minutes.  Measured refinements from the two round-5 hangs:
 #   - a hung client is NOT perfectly silent: background threads tick
-#     ~1 CPU tick per 10-25 min, which reset the old exact-equality
-#     strike counter.  "Silent" is therefore delta < 2 ticks per check
-#     (a live client fetching recording chunks or scan results moves
-#     tens of ticks per return).
+#     ~1 CPU tick per 10-25 min (one hang), and the 09:42 tf hang burned
+#     ~30 ticks/300s — so tick thresholds alone either starve or
+#     over-trigger.  "Silent" is now: the leg's stdout log FROZEN and
+#     ticks under TICKS_MAX per check (see inline comment), falling back
+#     to the old < 2-tick bar when stdout isn't a regular file.
 #   - while the worker is DOWN the probe fails too, and the old policy
 #     (kill only when the probe PASSES) never fired — both hangs needed
 #     manual kills.  Mid-dispatch hangs never recover (r3 evidence), and
@@ -68,16 +69,43 @@ kill_leg() {
   kill -0 "$1" 2>/dev/null && kill -9 "$1" 2>/dev/null
 }
 
-last_pid="" last_ticks="" strikes=0
-log "watching queue pid $QPID (check=${CHECK}s strikes=$STRIKES hard=$HARD_STRIKES)"
+stdout_size() {  # bytes written to pid $1's stdout, if it's a regular file
+  local f
+  f=$(readlink "/proc/$1/fd/1" 2>/dev/null)
+  [[ -f "$f" ]] && stat -c %s "$f" 2>/dev/null
+}
+
+# "Silent" (round-5 refinement, measured on the 09:42 tf hang): a hung
+# client is not tick-dead — that one burned ~30 ticks/300s in background
+# threads, sailing past the old `< 2` dead-silence bar, and only a
+# manual kill recovered the leg.  The honest signal is OUTPUT: every leg
+# writes stdout at least every ~2 min when alive (convergence eval rows,
+# [metrics] lines) EXCEPT distill recording phases, which print nothing
+# for 20+ min but burn thousands of ticks fetching chunks.  So: hung =
+# stdout frozen AND ticks under TICKS_MAX (0.33/s — an order of
+# magnitude below any active dispatch-fetch loop) for the strike window;
+# clients whose stdout is not a regular file keep the old `< 2` bar.
+TICKS_MAX="${WATCHDOG_TICKS_MAX:-100}"
+
+last_pid="" last_ticks="" last_bytes="" strikes=0
+log "watching queue pid $QPID (check=${CHECK}s strikes=$STRIKES hard=$HARD_STRIKES ticks_max=$TICKS_MAX)"
 while kill -0 "$QPID" 2>/dev/null; do
   sleep "$CHECK"
   pid=$(leg_python_pid) || { last_pid=""; strikes=0; continue; }
   ticks=$(cpu_ticks "$pid")
   [[ -z "$ticks" ]] && { last_pid=""; strikes=0; continue; }
-  if [[ "$pid" == "$last_pid" ]] && (( ticks - last_ticks < 2 )); then
+  bytes=$(stdout_size "$pid")
+  silent=0
+  if [[ "$pid" == "$last_pid" ]]; then
+    if [[ -n "$bytes" && -n "$last_bytes" ]]; then
+      (( bytes == last_bytes && ticks - last_ticks < TICKS_MAX )) && silent=1
+    else
+      (( ticks - last_ticks < 2 )) && silent=1
+    fi
+  fi
+  if (( silent )); then
     strikes=$((strikes + 1))
-    log "pid $pid silent (ticks=$ticks, strike $strikes/$STRIKES hard=$HARD_STRIKES)"
+    log "pid $pid silent (ticks=$ticks bytes=${bytes:-n/a}, strike $strikes/$STRIKES hard=$HARD_STRIKES)"
     if (( strikes >= HARD_STRIKES )); then
       log "KILL (hard): pid $pid dead-silent ${strikes}x${CHECK}s -> hung client (worker state irrelevant)"
       kill_leg "$pid"
@@ -95,6 +123,6 @@ while kill -0 "$QPID" 2>/dev/null; do
     [[ "$pid" == "$last_pid" ]] || log "tracking new leg pid $pid"
     strikes=0
   fi
-  last_pid="$pid"; last_ticks="$ticks"
+  last_pid="$pid"; last_ticks="$ticks"; last_bytes="$bytes"
 done
 log "queue pid $QPID exited; watchdog done"
