@@ -55,6 +55,16 @@ MANIFEST[("r5d", "distill_reacher_trajopt")] = [
 # r5e: ADA at the half-LR recipe (VERDICT r4 weak #6), behind r5c.
 MANIFEST[("r5e", "ada_halflr")] = [
     "benchmarks/convergence_ada_halflr.json"]
+# r5f: second recycle resume (2026-08-20 ~21:51 UTC wiped /tmp again) —
+# exactly the five legs the ledger showed MISSING, re-chained in one
+# script (tf seed + ada_halflr + selfdistill inline; arm3/reacher via
+# their original queue scripts, which report under r5c/r5d above).
+MANIFEST[("r5f", "tf_0.00005_2")] = [
+    "benchmarks/convergence_tf_lr0.00005_s2.json"]
+MANIFEST[("r5f", "ada_halflr")] = [
+    "benchmarks/convergence_ada_halflr.json"]
+MANIFEST[("r5f", "selfdistill")] = [
+    "benchmarks/selfdistill_imagecond.json"]
 
 
 def scan(paths):
