@@ -14,9 +14,20 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
-import numpy as np
+# The 2026-08-20 machine recycle shipped an image whose default
+# /usr/local/bin/python has NO scientific stack (numpy/jax live only in
+# /opt/venv).  When the driver invokes bench.py with that interpreter,
+# re-exec into the venv python instead of dying at the first import.
+try:
+    import numpy as np
+except ModuleNotFoundError:  # pragma: no cover - env-dependent
+    _venv_py = "/opt/venv/bin/python"
+    if os.path.exists(_venv_py) and os.path.abspath(sys.executable) != _venv_py:
+        os.execv(_venv_py, [_venv_py] + sys.argv)
+    raise
 
 
 def _time_it(fn, n_iters: int, warmup: int = 2) -> float:
