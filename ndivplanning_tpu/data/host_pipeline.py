@@ -38,15 +38,25 @@ class ArrayDataset:
         with np.load(path) as f:
             return cls({k: f[k] for k in f.files})
 
-    def batches(self, batch_size: int, *, seed: int = 0,
-                drop_remainder: bool = True) -> Iterator[dict]:
-        """One shuffled epoch of host batches (deterministic in seed)."""
+    def batch_indices(self, batch_size: int, *, seed: int = 0,
+                      drop_remainder: bool = True) -> Iterator[np.ndarray]:
+        """One shuffled epoch of example-index batches (deterministic in
+        seed).  ``batches`` delegates here, so any consumer that gathers
+        rows by these indices sees the EXACT batch order of the host
+        stream — the device-resident dataset path (train/loop.py)
+        depends on this being the single source of truth."""
         rng = np.random.default_rng(seed)
         order = rng.permutation(self.size)
         stop = (self.size // batch_size) * batch_size if drop_remainder \
             else self.size
         for i in range(0, stop, batch_size):
-            idx = order[i:i + batch_size]
+            yield order[i:i + batch_size]
+
+    def batches(self, batch_size: int, *, seed: int = 0,
+                drop_remainder: bool = True) -> Iterator[dict]:
+        """One shuffled epoch of host batches (deterministic in seed)."""
+        for idx in self.batch_indices(batch_size, seed=seed,
+                                      drop_remainder=drop_remainder):
             yield {k: v[idx] for k, v in self.arrays.items()}
 
 

@@ -466,7 +466,12 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
       slice's TRUE scenes — every ``cfg.eval_every`` steps,
     - execution is chunked: host batches are stacked and scanned in one
       compiled program per log interval, and multi-shard configs route
-      through the mesh (GSPMD constraints + fused-kernel NDiv).
+      through the mesh (GSPMD constraints + fused-kernel NDiv),
+    - datasets that fit ``NDIV_DATASET_DEVICE_MB`` (default 512 MB;
+      0 disables) are uploaded to the device ONCE and chunks gather
+      rows on device from int32 index batches — bitwise the same batch
+      stream, without re-sending the arrays every epoch (the streaming
+      path costs ~dataset_bytes x num_epochs over the TPU tunnel).
 
     ``dataset`` is an ArrayDataset with ``conditions``/``real_traj`` (and
     ``scene_*`` when recorded).  Returns (state, last_metrics_dict).
@@ -581,12 +586,49 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
                 produced += 1
                 yield to_batch(host)
 
+    def index_stream():
+        """Device-resident twin of batch_stream: yields the SAME batch
+        order as example-index arrays (ArrayDataset.batch_indices is the
+        shared source of truth), so the two paths are bitwise
+        interchangeable."""
+        produced = 0
+        for e in range(num_epochs):
+            for idx in dataset.batch_indices(cfg.batch_size,
+                                             seed=cfg.seed + e):
+                if produced < start_step:
+                    produced += 1
+                    continue
+                produced += 1
+                yield idx.astype(np.int32)
+
     def run_pending(state, pending):
         batch_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
         return run_chunk(state, batch_stack)
 
+    # Device-resident dataset path (round-5): the streaming path re-sends
+    # the whole dataset host->device EVERY epoch — on a long fine-tune
+    # from a small recorded set (100k steps over 27k planning512 rows =
+    # ~1.9k epochs) that is ~600 GB through a ~tens-of-MB/s TPU tunnel,
+    # and the soak becomes transfer-bound.  When the full converted
+    # dataset fits a device-byte budget (NDIV_DATASET_DEVICE_MB, default
+    # 512; 0 disables) and the config is unsharded, upload it ONCE and
+    # gather each chunk's rows on device from tiny int32 index batches —
+    # identical values in the same batch order (batch_indices is shared
+    # with the host stream), so run_chunk sees bitwise-equal stacks.
+    # Sharded configs keep the streaming path (per-shard device_put).
+    full_batch = None
+    ds_bytes = sum(v.nbytes for v in dataset.arrays.values())
+    dev_mb = int(os.environ.get("NDIV_DATASET_DEVICE_MB", "512"))
+    if mesh is None and dev_mb > 0 and ds_bytes <= (dev_mb << 20):
+        full_batch = jax.device_put(to_batch(dataset.arrays))
+
+    def run_pending_gather(state, pending):
+        idx = jnp.asarray(np.stack(pending))  # [chunk, batch] int32
+        batch_stack = jax.tree.map(lambda a: a[idx], full_batch)
+        return run_chunk(state, batch_stack)
+
     last: dict = {}
-    pending: list[Batch] = []
+    pending: list = []
     s = start_step
     target = next_boundary(s)
     # Device-memory cap on the pending stack (round-4 fix): boundaries
@@ -598,9 +640,19 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
     # interval flushes go through the same observer (its actions are
     # cadence-gated, steps/sec accumulation stays correct).
     chunk_cap: int | None = None
+    if full_batch is not None:
+        row_bytes = sum(
+            leaf.nbytes for leaf in jax.tree.leaves(full_batch))
+        batch_bytes = (row_bytes // max(dataset.size, 1)) * cfg.batch_size
+        cap_mb = int(os.environ.get("NDIV_DATASET_CHUNK_MB", "512"))
+        chunk_cap = max(1, (cap_mb << 20) // max(batch_bytes, 1))
+        stream = index_stream()
+        runner = run_pending_gather
+    else:
+        stream = prefetch_to_device(batch_stream(), buffer_size=prefetch)
+        runner = run_pending
     try:
-        for dev_batch in prefetch_to_device(batch_stream(),
-                                            buffer_size=prefetch):
+        for dev_batch in stream:
             pending.append(dev_batch)
             s += 1
             if chunk_cap is None:
@@ -612,7 +664,7 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
             if s < target and len(pending) < chunk_cap:
                 continue
             n = len(pending)
-            state, metrics = run_pending(state, pending)
+            state, metrics = runner(state, pending)
             pending = []
             if s >= target:
                 target = next_boundary(s)
@@ -621,7 +673,7 @@ def train_from_dataset(cfg: Config, dataset, num_epochs: int,
             obs.at_boundary(state, step, n, last)
         if pending:  # dataset truncation (drop_remainder) tail
             n = len(pending)
-            state, metrics = run_pending(state, pending)
+            state, metrics = runner(state, pending)
             last = {k: float(v[-1]) for k, v in metrics.items()}
             step += n
             obs.at_boundary(state, step, n, last)

@@ -300,3 +300,48 @@ def test_dataset_chunk_byte_cap_flushes_mid_interval(tmp_path, monkeypatch):
                     jax.tree.leaves(s_cap.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_batch_indices_match_batches():
+    """batch_indices is the single source of truth batches() delegates
+    to — the device-resident gather path depends on exact agreement."""
+    ds = _dataset(32)
+    for idx, batch in zip(ds.batch_indices(8, seed=7),
+                          ds.batches(8, seed=7)):
+        np.testing.assert_array_equal(ds.arrays["conditions"][idx],
+                                      batch["conditions"])
+
+
+def test_device_resident_matches_streaming(monkeypatch):
+    """The round-5 device-resident dataset path (upload once, gather
+    chunks on device by int32 indices) must be BITWISE identical to the
+    per-epoch streaming path: same batch order via batch_indices, same
+    chunk shapes (same cadences), hence the same compiled chunk
+    program."""
+    import jax
+
+    from ndivplanning_tpu.data.tasks import make_task
+    from ndivplanning_tpu.train.loop import train_from_dataset
+    from ndivplanning_tpu.utils.config import get_config
+
+    cfg = get_config("goalcond", batch_size=8, k=4, g_hidden=(32,),
+                     d_hidden=(32,), cond_embed_dim=8, log_every=3)
+    task = make_task(cfg)
+    b = task.sample(jax.random.PRNGKey(0), 32)
+    ds = ArrayDataset({"conditions": np.asarray(b.conditions),
+                       "real_traj": np.asarray(b.real_traj)})
+
+    monkeypatch.setenv("NDIV_DATASET_DEVICE_MB", "0")  # force streaming
+    s_stream, m_stream = train_from_dataset(cfg, ds, num_epochs=2)
+
+    monkeypatch.setenv("NDIV_DATASET_DEVICE_MB", "512")  # device path
+    s_dev, m_dev = train_from_dataset(cfg, ds, num_epochs=2)
+
+    assert int(s_stream.step) == int(s_dev.step) == 2 * (32 // 8)
+    jax.tree.map(np.testing.assert_array_equal,
+                 s_stream.g_params, s_dev.g_params)
+    jax.tree.map(np.testing.assert_array_equal,
+                 s_stream.d_params, s_dev.d_params)
+    for k_ in m_stream:
+        if k_ != "steps_per_sec":  # wall-clock, not math
+            assert m_stream[k_] == m_dev[k_], k_
